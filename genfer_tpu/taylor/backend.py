@@ -1,0 +1,898 @@
+"""Array backends for the TensorPoly Taylor engine.
+
+A backend owns the coefficient-tensor representation and the four
+performance-critical power-series kernels:
+
+* ``conv_trunc``  - truncated n-D Cauchy product
+  (reference: src/multivariate_taylor.rs:972-1012 ``mul_1d``/``mul``)
+* ``poly_div``    - power-series long division, sequential in the leading
+  axis (reference: multivariate_taylor.rs:1162-1192)
+* ``poly_exp``    - ODE recurrence ``res[k] = (sum_j j*x[j]*res[k-j])/k``
+  (reference: multivariate_taylor.rs:1270-1317)
+* ``poly_log``    - analogous recurrence with a division by ``x[0]``
+  (reference: multivariate_taylor.rs:1319-1386)
+
+Three implementations:
+
+* ``JaxF64Backend``      - f64 jnp tensors.  The kernels are formulated as
+  MXU-friendly dense linear algebra: Toeplitz-matmul Cauchy products and
+  triangular solves for the sequential recurrences, jitted per shape.
+* ``JaxIntervalBackend`` - directed-rounding interval arithmetic (``--bounds``)
+  vectorized as stacked lo/hi tensors with one-ULP outward widening after
+  every operation (reference: src/interval.rs:29-31).
+* ``ObjectBackend``      - numpy object arrays of host scalars; used for the
+  exact modes (``--rational``, ``--precision``, ``--big-float``) that cannot
+  be represented in hardware floats.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import numpy as np
+
+from ..numbers.scalar import F64, Interval
+
+Shape = tuple[int, ...]
+
+
+def _norm_shape(shape: Sequence[int]) -> Shape:
+    return tuple(int(s) for s in shape)
+
+
+class Backend:
+    """Abstract backend; generic implementations mirror the reference
+    recursions and only rely on the structural/elementwise primitives."""
+
+    # host scalar class used for constants of this backend
+    scalar_cls: type = F64
+
+    # ---- conversion -------------------------------------------------
+    def scalar(self, x) -> Any:
+        """Lift a host scalar to a 0-d array."""
+        raise NotImplementedError
+
+    def to_host(self, arr0d) -> Any:
+        """Lower a 0-d array to a host scalar."""
+        raise NotImplementedError
+
+    def from_nested(self, nested) -> Any:
+        """Build an array from nested lists of host scalars."""
+        raise NotImplementedError
+
+    # ---- structural -------------------------------------------------
+    def shape(self, arr) -> Shape:
+        raise NotImplementedError
+
+    def zeros(self, shape: Sequence[int]):
+        raise NotImplementedError
+
+    def reshape(self, arr, shape: Sequence[int]):
+        raise NotImplementedError
+
+    def index(self, arr, axis: int, i: int):
+        """Remove ``axis`` by indexing at ``i``."""
+        raise NotImplementedError
+
+    def slice_axis(self, arr, axis: int, start: int, stop: int):
+        raise NotImplementedError
+
+    def stack(self, arrs: Sequence, axis: int = 0):
+        raise NotImplementedError
+
+    def concat(self, arrs: Sequence, axis: int):
+        raise NotImplementedError
+
+    def pad_to(self, arr, shape: Sequence[int]):
+        """Zero-pad at the high end of each axis up to ``shape``
+        (ndim must already match)."""
+        raise NotImplementedError
+
+    # ---- elementwise ------------------------------------------------
+    def add(self, a, b):
+        raise NotImplementedError
+
+    def sub(self, a, b):
+        return self.add(a, self.neg(b))
+
+    def neg(self, a):
+        raise NotImplementedError
+
+    def mul(self, a, b):
+        raise NotImplementedError
+
+    def div(self, a, b):
+        raise NotImplementedError
+
+    def scale(self, a, host_scalar):
+        """Multiply by a host scalar: ``x * c`` elementwise.
+
+        Operand order matters for interval semantics: the reference maps
+        ``*x *= c`` which is ``x * c``."""
+        return self.mul(a, self.scalar(host_scalar))
+
+    def scale_left(self, host_scalar, a):
+        """``c * x`` elementwise."""
+        return self.mul(self.scalar(host_scalar), a)
+
+    def div_scalar(self, a, host_scalar):
+        return self.div(a, self.scalar(host_scalar))
+
+    def exp_el(self, a):
+        raise NotImplementedError
+
+    def log_el(self, a):
+        raise NotImplementedError
+
+    def sum_axis(self, a, axis: int, keepdims: bool = False):
+        """Sum along an axis with backend-correct accumulation order."""
+        n = self.shape(a)[axis]
+        acc = self.index(a, axis, 0)
+        for i in range(1, n):
+            acc = self.add(acc, self.index(a, axis, i))
+        if keepdims:
+            shape = list(self.shape(a))
+            shape[axis] = 1
+            acc = self.reshape(acc, shape)
+        return acc
+
+    def sum_all(self, a):
+        arr = a
+        while len(self.shape(arr)) > 0:
+            arr = self.sum_axis(arr, 0)
+        return arr
+
+    # ---- per-axis scaling by a list of host factors -----------------
+    def scale_axis(self, arr, axis: int, factors: Sequence):
+        """Multiply slice ``i`` along ``axis`` by host scalar ``factors[i]``
+        (each slice as ``x * factors[i]``)."""
+        n = self.shape(arr)[axis]
+        assert len(factors) == n
+        slices = [
+            self.scale(self.index(arr, axis, i), factors[i]) for i in range(n)
+        ]
+        return self.stack(slices, axis)
+
+    # ---- power-series kernels (generic reference-faithful versions) --
+    def conv_trunc(self, a, b, out_shape: Sequence[int]):
+        """Truncated Cauchy product; ``a``/``b`` must have
+        ``ndim == len(out_shape)`` and per-axis length <= out length."""
+        out_shape = _norm_shape(out_shape)
+        return self._conv_generic(a, b, out_shape)
+
+    def _conv_generic(self, a, b, out_shape: Shape):
+        if len(out_shape) == 0:
+            return self.mul(a, b)
+        la = self.shape(a)[0]
+        lb = self.shape(b)[0]
+        rest = out_shape[1:]
+        ks = []
+        for k in range(out_shape[0]):
+            lo = max(0, k + 1 - lb)
+            hi = min(k + 1, la)
+            acc = None
+            for j in range(lo, hi):
+                p = self._conv_generic(
+                    self.index(a, 0, j), self.index(b, 0, k - j), rest
+                )
+                acc = p if acc is None else self.add(acc, p)
+            if acc is None:
+                acc = self.zeros(rest)
+            ks.append(acc)
+        return self.stack(ks, 0)
+
+    def poly_div(self, xs, ys, out_shape: Sequence[int]):
+        out_shape = _norm_shape(out_shape)
+        return self._div_generic(xs, ys, out_shape)
+
+    def _div_generic(self, xs, ys, out_shape: Shape):
+        if len(out_shape) == 0:
+            return self.div(xs, ys)
+        lxs = self.shape(xs)[0]
+        lys = self.shape(ys)[0]
+        rest = out_shape[1:]
+        ys0 = self.index(ys, 0, 0)
+        res: list = []
+        for k in range(out_shape[0]):
+            lo = max(0, k + 1 - lys)
+            acc = None
+            for j in range(lo, k):
+                term = self._conv_generic(res[j], self.index(ys, 0, k - j), rest)
+                acc = term if acc is None else self.add(acc, term)
+            cur = self.neg(acc) if acc is not None else self.zeros(rest)
+            if k < lxs:
+                xsk = self.pad_to(self.index(xs, 0, k), rest)
+                cur = self.add(cur, xsk)
+            res.append(self._div_generic(cur, ys0, rest))
+        return self.stack(res, 0)
+
+    def poly_exp(self, xs, out_shape: Sequence[int]):
+        out_shape = _norm_shape(out_shape)
+        return self._exp_generic(xs, out_shape)
+
+    def _exp_generic(self, xs, out_shape: Shape):
+        if len(out_shape) == 0:
+            return self.exp_el(xs)
+        lxs = self.shape(xs)[0]
+        rest = out_shape[1:]
+        T = self.scalar_cls
+        res = [self._exp_generic(self.index(xs, 0, 0), rest)]
+        for k in range(1, out_shape[0]):
+            hi = min(lxs, k + 1)
+            acc = None
+            for j in range(1, hi):
+                xj = self.scale(self.index(xs, 0, j), T.from_u32(j))
+                term = self._conv_generic(xj, res[k - j], rest)
+                acc = term if acc is None else self.add(acc, term)
+            if acc is None:
+                acc = self.zeros(rest)
+            res.append(self.div_scalar(acc, T.from_u32(k)))
+        return self.stack(res, 0)
+
+    def poly_log(self, xs, out_shape: Sequence[int]):
+        out_shape = _norm_shape(out_shape)
+        return self._log_generic(xs, out_shape)
+
+    def _log_generic(self, xs, out_shape: Shape):
+        if len(out_shape) == 0:
+            return self.log_el(xs)
+        lxs = self.shape(xs)[0]
+        rest = out_shape[1:]
+        T = self.scalar_cls
+        xs0 = self.index(xs, 0, 0)
+        res = [self._log_generic(xs0, rest)]
+        for k in range(1, out_shape[0]):
+            lo = max(1, k + 1 - lxs)
+            acc = None
+            for j in range(lo, k):
+                rj = self.scale(res[j], T.from_u32(j))
+                term = self._conv_generic(self.index(xs, 0, k - j), rj, rest)
+                acc = term if acc is None else self.add(acc, term)
+            cur = self.neg(acc) if acc is not None else self.zeros(rest)
+            if k < lxs:
+                xsk = self.scale(self.index(xs, 0, k), T.from_u32(k))
+                cur = self.add(cur, self.pad_to(xsk, rest))
+            cur = self._div_generic(cur, xs0, rest)
+            res.append(self.div_scalar(cur, T.from_u32(k)))
+        return self.stack(res, 0)
+
+
+# ===================================================================
+# Object backend: numpy object arrays of host scalars
+# ===================================================================
+
+class ObjectBackend(Backend):
+    def __init__(self, scalar_cls):
+        self.scalar_cls = scalar_cls
+
+    def scalar(self, x):
+        a = np.empty((), dtype=object)
+        a[()] = x
+        return a
+
+    def to_host(self, arr0d):
+        return arr0d[()] if isinstance(arr0d, np.ndarray) else arr0d
+
+    def from_nested(self, nested):
+        def build(n):
+            if isinstance(n, (list, tuple)):
+                return [build(x) for x in n]
+            return n
+
+        return np.array(build(nested), dtype=object)
+
+    def shape(self, arr) -> Shape:
+        return tuple(arr.shape)
+
+    def zeros(self, shape):
+        a = np.empty(_norm_shape(shape), dtype=object)
+        a.fill(self.scalar_cls.zero())
+        return a
+
+    def reshape(self, arr, shape):
+        return arr.reshape(_norm_shape(shape))
+
+    @staticmethod
+    def _wrap(x):
+        if isinstance(x, np.ndarray):
+            return x
+        out = np.empty((), dtype=object)
+        out[()] = x
+        return out
+
+    def index(self, arr, axis, i):
+        return self._wrap(np.take(arr, i, axis=axis))
+
+    def slice_axis(self, arr, axis, start, stop):
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(start, stop)
+        return arr[tuple(sl)]
+
+    def stack(self, arrs, axis=0):
+        return np.stack(arrs, axis=axis)
+
+    def concat(self, arrs, axis):
+        return np.concatenate(arrs, axis=axis)
+
+    def pad_to(self, arr, shape):
+        shape = _norm_shape(shape)
+        if tuple(arr.shape) == shape:
+            return arr
+        out = self.zeros(shape)
+        out[tuple(slice(0, s) for s in arr.shape)] = arr
+        return out
+
+    def _ew(self, op, a, b):
+        # numpy unwraps one operand when both are 0-d object arrays, which
+        # confuses the scalar dunders; compute on raw scalars in that case
+        if a.ndim == 0 and b.ndim == 0:
+            return self.scalar(op(a[()], b[()]))
+        if a.ndim == 0:
+            a = a[()]
+        if b.ndim == 0:
+            b = b[()]
+        return np.frompyfunc(op, 2, 1)(a, b)
+
+    def add(self, a, b):
+        return self._ew(lambda x, y: x + y, a, b)
+
+    def neg(self, a):
+        if a.ndim == 0:
+            return self.scalar(-a[()])
+        return np.frompyfunc(lambda x: -x, 1, 1)(a)
+
+    def mul(self, a, b):
+        return self._ew(lambda x, y: x * y, a, b)
+
+    def div(self, a, b):
+        return self._ew(lambda x, y: x / y, a, b)
+
+    def exp_el(self, a):
+        return _obj_ufunc(lambda x: x.exp())(a)
+
+    def log_el(self, a):
+        return _obj_ufunc(lambda x: x.log())(a)
+
+
+def _obj_ufunc(f):
+    uf = np.frompyfunc(f, 1, 1)
+
+    def apply(a):
+        out = uf(a)
+        if not isinstance(out, np.ndarray):
+            wrapped = np.empty((), dtype=object)
+            wrapped[()] = out
+            return wrapped
+        return out
+
+    return apply
+
+
+# ===================================================================
+# JAX f64 backend
+# ===================================================================
+
+def _effective_axes(shape: Shape) -> list[int]:
+    return [i for i, s in enumerate(shape) if s != 1]
+
+
+@functools.lru_cache(maxsize=None)
+def _jax():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+    return jax, jnp
+
+
+def _toeplitz(jnp, a, out_len: int, b_len: int):
+    """T[k, j] = a[k - j] masked to the valid band (k-j in [0, len(a)))."""
+    la = a.shape[0]
+    k = jnp.arange(out_len)[:, None]
+    j = jnp.arange(b_len)[None, :]
+    idx = k - j
+    valid = (idx >= 0) & (idx < la)
+    gathered = a[jnp.clip(idx, 0, la - 1)]
+    valid = valid.reshape(valid.shape + (1,) * (gathered.ndim - 2))
+    return jnp.where(valid, gathered, 0.0)
+
+
+def _onehot_add(jnp, la: int, lb: int, out_len: int, dtype):
+    """E[i, j, k] = 1 iff i + j == k (k < out_len)."""
+    i = jnp.arange(la)[:, None, None]
+    j = jnp.arange(lb)[None, :, None]
+    k = jnp.arange(out_len)[None, None, :]
+    return ((i + j) == k).astype(dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_jit(a_shape: Shape, b_shape: Shape, out_shape: Shape):
+    """Build and cache a jitted truncated-conv kernel for fixed shapes."""
+    jax, jnp = _jax()
+
+    def conv(a, b):
+        return _conv_impl(jnp, a, b, out_shape)
+
+    return jax.jit(conv)
+
+
+def _conv_impl(jnp, a, b, out_shape: Shape):
+    """Truncated n-D Cauchy product lowered to MXU matmuls.
+
+    Strategy (see module docstring): squeeze length-1 axes, then
+    * 0 effective axes: elementwise product,
+    * 1 axis: lower-triangular Toeplitz matmul,
+    * 2 axes: Toeplitz matmul along axis 0 followed by a one-hot
+      "index addition" contraction along axis 1 (both MXU matmuls),
+    * >=3 axes: pairwise vmap over the leading axis + one-hot contraction.
+    """
+    eff = _effective_axes(out_shape)
+    if not eff:
+        return (a * b).reshape(out_shape)
+    # move effective axes to front in order, squeeze the rest
+    a_sq = a.reshape([a.shape[i] for i in eff])
+    b_sq = b.reshape([b.shape[i] for i in eff])
+    eff_out = tuple(out_shape[i] for i in eff)
+    res = _conv_dense(jnp, a_sq, b_sq, eff_out)
+    return res.reshape(out_shape)
+
+
+def _conv_dense(jnp, a, b, out_shape: Shape):
+    n = len(out_shape)
+    if n == 0:
+        return a * b
+    if n == 1:
+        (c0,) = out_shape
+        T = _toeplitz(jnp, a, c0, b.shape[0])
+        return T @ b
+    if n == 2:
+        c0, c1 = out_shape
+        a0, a1 = a.shape
+        b0, b1 = b.shape
+        # step 1: conv along axis 0 -> H[k0, i1, j1]
+        Ta = _toeplitz(jnp, a, c0, b0)  # [c0, b0, a1] via gather on axis 0
+        # _toeplitz gathers a[k-j] producing [c0, b0] leading dims, keeping
+        # a's trailing axes:
+        H = jnp.einsum("kji,jl->kil", Ta, b)  # [c0, a1, b1]
+        E1 = _onehot_add(jnp, a1, b1, c1, a.dtype)
+        return jnp.einsum("kij,ijl->kl", H, E1)
+    # n >= 3: pair the leading axis, recurse on the rest
+    import jax
+
+    rest = out_shape[1:]
+    inner = lambda ai, bj: _conv_dense(jnp, ai, bj, rest)
+    P = jax.vmap(lambda ai: jax.vmap(lambda bj: inner(ai, bj))(b))(a)
+    E0 = _onehot_add(jnp, a.shape[0], b.shape[0], out_shape[0], a.dtype)
+    return jnp.einsum("ij...,ijk->k...", P, E0)
+
+
+@functools.lru_cache(maxsize=None)
+def _div1d_jit(xs_shape: Shape, ys_shape: Shape, out_shape: Shape, axis: int):
+    """Power-series division along a single effective axis as a batched
+    lower-triangular Toeplitz solve (reference recurrence 1162-1192 is
+    exactly forward substitution on this system)."""
+    jax, jnp = _jax()
+
+    def div(xs, ys):
+        n = out_shape[axis]
+        yvec = jnp.moveaxis(ys, axis, 0).reshape(ys.shape[axis])
+        T = _toeplitz(jnp, yvec, n, n)  # [n, n] lower triangular
+        xmat = jnp.moveaxis(xs, axis, 0).reshape(xs.shape[axis], -1)
+        pad = n - xmat.shape[0]
+        if pad > 0:
+            xmat = jnp.pad(xmat, ((0, pad), (0, 0)))
+        else:
+            xmat = xmat[:n]
+        sol = jax.lax.linalg.triangular_solve(
+            T, xmat, left_side=True, lower=True
+        )
+        inter = list(out_shape)
+        inter[axis] = 1
+        inter_sq = [s for i, s in enumerate(out_shape) if i != axis]
+        res = sol.reshape([n] + inter_sq)
+        return jnp.moveaxis(res, 0, axis)
+
+    return jax.jit(div)
+
+
+@functools.lru_cache(maxsize=None)
+def _exp1d_jit(xs_shape: Shape, out_shape: Shape, axis: int):
+    """Power-series exp along one axis: solve (I - L) f = exp(x0) e0 where
+    L[k, k-j] = j*x[j]/k (the reference recurrence as a triangular solve)."""
+    jax, jnp = _jax()
+
+    def pexp(xs):
+        n = out_shape[axis]
+        x = jnp.moveaxis(xs, axis, 0).reshape(xs.shape[axis])
+        pad = n - x.shape[0]
+        x = jnp.pad(x, (0, pad)) if pad > 0 else x[:n]
+        k = jnp.arange(n)[:, None]
+        m = jnp.arange(n)[None, :]
+        d = k - m
+        valid = (d >= 1) & (m < k)
+        coeff = jnp.where(valid, d, 0).astype(x.dtype) * jnp.where(
+            valid, x[jnp.clip(d, 0, n - 1)], 0.0
+        )
+        ksafe = jnp.where(k == 0, 1, k).astype(x.dtype)
+        M = jnp.eye(n, dtype=x.dtype) - coeff / ksafe
+        rhs = jnp.zeros((n, 1), x.dtype).at[0, 0].set(jnp.exp(x[0]))
+        f = jax.lax.linalg.triangular_solve(M, rhs, left_side=True, lower=True)
+        res = f.reshape([n] + [1] * (len(out_shape) - 1))
+        return jnp.moveaxis(res, 0, axis) if axis != 0 else res.reshape(out_shape)
+
+    return jax.jit(pexp)
+
+
+@functools.lru_cache(maxsize=None)
+def _log1d_jit(xs_shape: Shape, out_shape: Shape, axis: int):
+    """Power-series log along one axis: solve T(x) h' = b with
+    b_k = k*x_k, then h_k = h'_k / k (reference recurrence 1319-1333)."""
+    jax, jnp = _jax()
+
+    def plog(xs):
+        n = out_shape[axis]
+        x = jnp.moveaxis(xs, axis, 0).reshape(xs.shape[axis])
+        pad = n - x.shape[0]
+        x = jnp.pad(x, (0, pad)) if pad > 0 else x[:n]
+        if n == 1:
+            res = jnp.log(x[:1])
+        else:
+            T = _toeplitz(jnp, x, n - 1, n - 1)
+            ks = jnp.arange(1, n).astype(x.dtype)
+            b = (ks * x[1:n])[:, None]
+            hp = jax.lax.linalg.triangular_solve(
+                T, b, left_side=True, lower=True
+            ).reshape(n - 1)
+            h = hp / ks
+            res = jnp.concatenate([jnp.log(x[:1]), h])
+        res = res.reshape([n] + [1] * (len(out_shape) - 1))
+        return jnp.moveaxis(res, 0, axis) if axis != 0 else res.reshape(out_shape)
+
+    return jax.jit(plog)
+
+
+class JaxF64Backend(Backend):
+    scalar_cls = F64
+
+    def __init__(self, dtype=None):
+        jax, jnp = _jax()
+        self.jnp = jnp
+        self.jax = jax
+        self.dtype = dtype or jnp.float64
+
+    # ---- conversion -------------------------------------------------
+    def scalar(self, x):
+        v = x.v if isinstance(x, F64) else float(x)
+        return self.jnp.asarray(v, dtype=self.dtype)
+
+    def to_host(self, arr0d):
+        return F64(float(arr0d))
+
+    def from_nested(self, nested):
+        def build(n):
+            if isinstance(n, (list, tuple)):
+                return [build(x) for x in n]
+            return n.v if isinstance(n, F64) else float(n)
+
+        return self.jnp.asarray(build(nested), dtype=self.dtype)
+
+    # ---- structural -------------------------------------------------
+    def shape(self, arr) -> Shape:
+        return tuple(arr.shape)
+
+    def zeros(self, shape):
+        return self.jnp.zeros(_norm_shape(shape), dtype=self.dtype)
+
+    def reshape(self, arr, shape):
+        return arr.reshape(_norm_shape(shape))
+
+    def index(self, arr, axis, i):
+        return self.jnp.take(arr, i, axis=axis)
+
+    def slice_axis(self, arr, axis, start, stop):
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(start, stop)
+        return arr[tuple(sl)]
+
+    def stack(self, arrs, axis=0):
+        return self.jnp.stack(arrs, axis=axis)
+
+    def concat(self, arrs, axis):
+        return self.jnp.concatenate(arrs, axis=axis)
+
+    def pad_to(self, arr, shape):
+        shape = _norm_shape(shape)
+        if tuple(arr.shape) == shape:
+            return arr
+        pads = [(0, t - s) for s, t in zip(arr.shape, shape)]
+        return self.jnp.pad(arr, pads)
+
+    # ---- elementwise ------------------------------------------------
+    def add(self, a, b):
+        return a + b
+
+    def neg(self, a):
+        return -a
+
+    def mul(self, a, b):
+        return a * b
+
+    def div(self, a, b):
+        return a / b
+
+    def exp_el(self, a):
+        return self.jnp.exp(a)
+
+    def log_el(self, a):
+        return self.jnp.log(a)
+
+    def sum_axis(self, a, axis, keepdims=False):
+        return self.jnp.sum(a, axis=axis, keepdims=keepdims)
+
+    def sum_all(self, a):
+        return self.jnp.sum(a)
+
+    def scale_axis(self, arr, axis, factors):
+        f = self.jnp.asarray(
+            [x.v if isinstance(x, F64) else float(x) for x in factors],
+            dtype=self.dtype,
+        )
+        shape = [1] * arr.ndim
+        shape[axis] = len(factors)
+        return arr * f.reshape(shape)
+
+    # ---- fast kernels -----------------------------------------------
+    def conv_trunc(self, a, b, out_shape):
+        out_shape = _norm_shape(out_shape)
+        return _conv_jit(tuple(a.shape), tuple(b.shape), out_shape)(a, b)
+
+    def poly_div(self, xs, ys, out_shape):
+        out_shape = _norm_shape(out_shape)
+        eff_ys = _effective_axes(tuple(ys.shape))
+        if len(eff_ys) == 0:
+            return self.pad_to(xs, out_shape) / ys  # constant divisor
+        if len(eff_ys) == 1:
+            # batched lower-triangular Toeplitz solve over the other lanes
+            axis = eff_ys[0]
+            return _div1d_jit(
+                tuple(xs.shape), tuple(ys.shape), out_shape, axis
+            )(xs, ys)
+        return self._div_generic(xs, ys, out_shape)
+
+    def poly_exp(self, xs, out_shape):
+        out_shape = _norm_shape(out_shape)
+        eff = _effective_axes(tuple(xs.shape))
+        if len(eff) == 0:
+            return self.jnp.broadcast_to(self.jnp.exp(xs), out_shape)
+        if len(eff) == 1:
+            return _exp1d_jit(tuple(xs.shape), out_shape, eff[0])(xs)
+        return self._exp_generic(xs, out_shape)
+
+    def poly_log(self, xs, out_shape):
+        out_shape = _norm_shape(out_shape)
+        eff = _effective_axes(tuple(xs.shape))
+        if len(eff) == 0:
+            return self.jnp.broadcast_to(self.jnp.log(xs), out_shape)
+        if len(eff) == 1:
+            return _log1d_jit(tuple(xs.shape), out_shape, eff[0])(xs)
+        return self._log_generic(xs, out_shape)
+
+
+# ===================================================================
+# JAX interval backend (vectorized --bounds mode)
+# ===================================================================
+
+class IvArr:
+    """An interval tensor: ``data`` has shape (2, *shape); data[0] = lo,
+    data[1] = hi."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data):
+        self.data = data
+
+    @property
+    def lo(self):
+        return self.data[0]
+
+    @property
+    def hi(self):
+        return self.data[1]
+
+    @property
+    def shape(self):
+        return tuple(self.data.shape[1:])
+
+    @property
+    def ndim(self):
+        return self.data.ndim - 1
+
+
+class JaxIntervalBackend(Backend):
+    """Interval tensors with outward one-ULP widening after every scalar
+    operation, matching reference src/interval.rs semantics (including the
+    exactness fast paths for zero/one operands, applied elementwise via
+    masks so that point intervals stay points where the reference's do)."""
+
+    def __init__(self, dtype=None):
+        jax, jnp = _jax()
+        self.jax = jax
+        self.jnp = jnp
+        self.dtype = dtype or jnp.float64
+        self.scalar_cls = Interval.over(F64)
+
+    # -- helpers ------------------------------------------------------
+    def _widen_lo(self, lo):
+        return self.jnp.nextafter(lo, -self.jnp.inf)
+
+    def _widen_hi(self, hi):
+        return self.jnp.nextafter(hi, self.jnp.inf)
+
+    def _zero_mask(self, x: IvArr):
+        return (x.lo == 0.0) & (x.hi == 0.0)
+
+    def _one_mask(self, x: IvArr):
+        return (x.lo == 1.0) & (x.hi == 1.0)
+
+    def _neg_one_mask(self, x: IvArr):
+        return (x.lo == -1.0) & (x.hi == -1.0)
+
+    def _finite_mask(self, x: IvArr):
+        return self.jnp.isfinite(x.lo) & self.jnp.isfinite(x.hi)
+
+    # ---- conversion -------------------------------------------------
+    def scalar(self, x):
+        jnp = self.jnp
+        if isinstance(x, Interval):
+            lo, hi = x.lo.v, x.hi.v
+        elif isinstance(x, F64):
+            lo = hi = x.v
+        else:
+            lo = hi = float(x)
+        return IvArr(jnp.asarray([lo, hi], dtype=self.dtype))
+
+    def to_host(self, arr0d: IvArr):
+        return self.scalar_cls(F64(float(arr0d.lo)), F64(float(arr0d.hi)))
+
+    def from_nested(self, nested):
+        jnp = self.jnp
+
+        def build(n, comp):
+            if isinstance(n, (list, tuple)):
+                return [build(x, comp) for x in n]
+            if isinstance(n, Interval):
+                return (n.lo.v, n.hi.v)[comp]
+            return n.v if isinstance(n, F64) else float(n)
+
+        lo = jnp.asarray(build(nested, 0), dtype=self.dtype)
+        hi = jnp.asarray(build(nested, 1), dtype=self.dtype)
+        return IvArr(jnp.stack([lo, hi]))
+
+    # ---- structural -------------------------------------------------
+    def shape(self, arr: IvArr) -> Shape:
+        return arr.shape
+
+    def zeros(self, shape):
+        return IvArr(self.jnp.zeros((2,) + _norm_shape(shape), dtype=self.dtype))
+
+    def reshape(self, arr: IvArr, shape):
+        return IvArr(arr.data.reshape((2,) + _norm_shape(shape)))
+
+    def index(self, arr: IvArr, axis, i):
+        return IvArr(self.jnp.take(arr.data, i, axis=axis + 1))
+
+    def slice_axis(self, arr: IvArr, axis, start, stop):
+        sl = [slice(None)] * arr.data.ndim
+        sl[axis + 1] = slice(start, stop)
+        return IvArr(arr.data[tuple(sl)])
+
+    def stack(self, arrs, axis=0):
+        return IvArr(self.jnp.stack([a.data for a in arrs], axis=axis + 1))
+
+    def concat(self, arrs, axis):
+        return IvArr(self.jnp.concatenate([a.data for a in arrs], axis=axis + 1))
+
+    def pad_to(self, arr: IvArr, shape):
+        shape = _norm_shape(shape)
+        if arr.shape == shape:
+            return arr
+        pads = [(0, 0)] + [(0, t - s) for s, t in zip(arr.shape, shape)]
+        return IvArr(self.jnp.pad(arr.data, pads))
+
+    # ---- elementwise interval ops ------------------------------------
+    def add(self, a: IvArr, b: IvArr):
+        jnp = self.jnp
+        lo = a.lo + b.lo
+        hi = a.hi + b.hi
+        exact = self._zero_mask(a) | self._zero_mask(b)
+        lo = jnp.where(exact, lo, self._widen_lo(lo))
+        hi = jnp.where(exact, hi, self._widen_hi(hi))
+        return IvArr(jnp.stack([lo, hi]))
+
+    def neg(self, a: IvArr):
+        return IvArr(self.jnp.stack([-a.hi, -a.lo]))
+
+    def mul(self, a: IvArr, b: IvArr):
+        jnp = self.jnp
+        p1 = a.lo * b.lo
+        p2 = a.lo * b.hi
+        p3 = a.hi * b.lo
+        p4 = a.hi * b.hi
+        lo = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
+        hi = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+        lo = self._widen_lo(lo)
+        hi = self._widen_hi(hi)
+        # fast-path masks (reference: interval.rs:168-189)
+        a_one, b_one = self._one_mask(a), self._one_mask(b)
+        a_negone, b_negone = self._neg_one_mask(a), self._neg_one_mask(b)
+        zero = (self._zero_mask(a) & self._finite_mask(b)) | (
+            self._zero_mask(b) & self._finite_mask(a)
+        )
+        blo, bhi = jnp.broadcast_to(b.lo, lo.shape), jnp.broadcast_to(b.hi, hi.shape)
+        alo, ahi = jnp.broadcast_to(a.lo, lo.shape), jnp.broadcast_to(a.hi, hi.shape)
+        lo = jnp.where(b_negone, -ahi, lo)
+        hi = jnp.where(b_negone, -alo, hi)
+        lo = jnp.where(a_negone, -bhi, lo)
+        hi = jnp.where(a_negone, -blo, hi)
+        lo = jnp.where(b_one, alo, lo)
+        hi = jnp.where(b_one, ahi, hi)
+        lo = jnp.where(a_one, blo, lo)
+        hi = jnp.where(a_one, bhi, hi)
+        lo = jnp.where(zero, 0.0, lo)
+        hi = jnp.where(zero, 0.0, hi)
+        return IvArr(jnp.stack([lo, hi]))
+
+    def div(self, a: IvArr, b: IvArr):
+        jnp = self.jnp
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q1 = a.lo / b.lo
+            q2 = a.lo / b.hi
+            q3 = a.hi / b.lo
+            q4 = a.hi / b.hi
+        lo = jnp.minimum(jnp.minimum(q1, q2), jnp.minimum(q3, q4))
+        hi = jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4))
+        # divisor straddles zero (reference: interval.rs:213-225)
+        contains0 = (b.lo <= 0.0) & (0.0 <= b.hi)
+        lo_inf = contains0 & ~((0.0 <= a.lo) & ~(a.hi <= 0.0))
+        hi_inf = contains0 & ~((a.hi <= 0.0) & ~(0.0 <= a.lo))
+        lo = jnp.where(lo_inf, -jnp.inf, lo)
+        hi = jnp.where(hi_inf, jnp.inf, hi)
+        lo = self._widen_lo(lo)
+        hi = self._widen_hi(hi)
+        # fast paths
+        a_zero = self._zero_mask(a) & ~self._zero_mask(b)
+        b_one = self._one_mask(b)
+        nan = (
+            jnp.isnan(a.lo) | jnp.isnan(a.hi) | jnp.isnan(b.lo) | jnp.isnan(b.hi)
+        )
+        alo = jnp.broadcast_to(a.lo, lo.shape)
+        ahi = jnp.broadcast_to(a.hi, hi.shape)
+        lo = jnp.where(b_one, alo, lo)
+        hi = jnp.where(b_one, ahi, hi)
+        lo = jnp.where(a_zero, alo, lo)
+        hi = jnp.where(a_zero, ahi, hi)
+        lo = jnp.where(nan, jnp.nan, lo)
+        hi = jnp.where(nan, jnp.nan, hi)
+        return IvArr(jnp.stack([lo, hi]))
+
+    def exp_el(self, a: IvArr):
+        jnp = self.jnp
+        lo = self._widen_lo(jnp.exp(a.lo))
+        hi = self._widen_hi(jnp.exp(a.hi))
+        z = self._zero_mask(a)
+        lo = jnp.where(z, 1.0, lo)
+        hi = jnp.where(z, 1.0, hi)
+        return IvArr(jnp.stack([lo, hi]))
+
+    def log_el(self, a: IvArr):
+        jnp = self.jnp
+        with np.errstate(divide="ignore", invalid="ignore"):
+            llo = jnp.log(a.lo)
+            lhi = jnp.log(a.hi)
+        lo = self._widen_lo(llo)
+        hi = self._widen_hi(lhi)
+        one = self._one_mask(a)
+        lo = jnp.where(one, 0.0, lo)
+        hi = jnp.where(one, 0.0, hi)
+        return IvArr(jnp.stack([lo, hi]))
