@@ -1,0 +1,742 @@
+"""Generating-function expression IR.
+
+Host-side immutable DAG of generating-function operations
+(reference: src/generating_function.rs).  Node constants are host scalars
+from :mod:`genfer_tpu.numbers`; evaluation lowers the DAG into TensorPoly
+operations on a chosen array backend.
+
+Structural sharing is the memoization key: shared sub-DAGs are evaluated
+once per (inputs, degree) thanks to an id-keyed cache, mirroring the
+reference's Rc-pointer caches (generating_function.rs:186-222).  Under the
+whole-graph view this is common-subexpression reuse inside one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from ..taylor.tensorpoly import INF_DEGREE, TaylorPoly
+
+# node kinds
+VAR = "Var"
+CONST = "Const"
+ADD = "Add"
+NEG = "Neg"
+MUL = "Mul"
+DIV = "Div"
+POLYNOMIAL = "Polynomial"
+EXP = "Exp"
+LOG = "Log"
+POW = "Pow"
+UNIFORM_MGF = "UniformMgf"
+SUBST = "Subst"
+DERIVATIVE = "Derivative"
+TAYLOR_POLYNOMIAL = "TaylorPolynomial"
+TAYLOR_COEFF_AT_ZERO = "TaylorCoeffAtZero"
+TAYLOR_COEFF = "TaylorCoeff"
+SHIFT_TAYLOR_AT_ZERO = "ShiftTaylorAtZero"
+MAX = "Max"
+
+
+class GenFun:
+    """One node of the generating-function DAG (17 node kinds,
+    reference: generating_function.rs:301-323)."""
+
+    __slots__ = ("kind", "args", "var", "order", "orders", "value", "poly")
+
+    def __init__(self, kind, args=(), var=None, order=None, orders=None,
+                 value=None, poly=None):
+        self.kind = kind
+        self.args = args          # child GenFun nodes
+        self.var = var            # variable index
+        self.order = order        # int (Pow exponent / derivative order)
+        self.orders = orders      # list of ints (TaylorPolynomial)
+        self.value = value        # host scalar (Const)
+        self.poly = poly          # host nested coeff lists (Polynomial)
+
+    # -- smart constructors (reference: generating_function.rs:49-149) --
+    @staticmethod
+    def var_(v: int) -> "GenFun":
+        return GenFun(VAR, var=v)
+
+    @staticmethod
+    def constant(x) -> "GenFun":
+        return GenFun(CONST, value=x)
+
+    @staticmethod
+    def zero(T) -> "GenFun":
+        return GenFun.constant(T.zero())
+
+    @staticmethod
+    def one(T) -> "GenFun":
+        return GenFun.constant(T.one())
+
+    @staticmethod
+    def from_u32(T, n: int) -> "GenFun":
+        return GenFun.constant(T.from_u32(n))
+
+    @staticmethod
+    def from_ratio(T, numer: int, denom: int) -> "GenFun":
+        return GenFun.constant(T.from_ratio(numer, denom))
+
+    @staticmethod
+    def polynomial(nested_host_coeffs, ndim: int) -> "GenFun":
+        return GenFun(POLYNOMIAL, poly=nested_host_coeffs, order=ndim)
+
+    def exp(self):
+        return GenFun(EXP, args=(self,))
+
+    def log(self):
+        return GenFun(LOG, args=(self,))
+
+    def pow(self, n: int):
+        return GenFun(POW, args=(self,), order=int(n))
+
+    def max_(self, other: "GenFun"):
+        return GenFun(MAX, args=(self, other))
+
+    @staticmethod
+    def uniform_mgf(g: "GenFun"):
+        """(e^x - 1)/x continuously extended at 0
+        (reference: generating_function.rs:94-96, 314-315)."""
+        return GenFun(UNIFORM_MGF, args=(g,))
+
+    def derive(self, v: int, order: int):
+        return GenFun(DERIVATIVE, args=(self,), var=v, order=order)
+
+    def taylor_polynomial_at_zero(self, v: int, orders: Sequence[int]):
+        return GenFun(TAYLOR_POLYNOMIAL, args=(self,), var=v, orders=list(orders))
+
+    def taylor_coeff_at_zero(self, v: int, order: int):
+        return GenFun(TAYLOR_COEFF_AT_ZERO, args=(self,), var=v, order=order)
+
+    def taylor_coeff(self, v: int, order: int):
+        return GenFun(TAYLOR_COEFF, args=(self,), var=v, order=order)
+
+    def shift_down_taylor_at_zero(self, v: int, order: int):
+        return GenFun(SHIFT_TAYLOR_AT_ZERO, args=(self,), var=v, order=order)
+
+    def substitute_var(self, v: int, val: "GenFun"):
+        return GenFun(SUBST, args=(self, val), var=v)
+
+    def substitute_all(self, val: "GenFun"):
+        num_vars = self.used_vars()
+        result = self
+        for v in range(num_vars):
+            result = result.substitute_var(v, val)
+        return result
+
+    # -- operators ------------------------------------------------------
+    def __add__(self, other):
+        return GenFun(ADD, args=(self, other))
+
+    def __neg__(self):
+        return GenFun(NEG, args=(self,))
+
+    def __sub__(self, other):
+        return self + (-other)
+
+    def __mul__(self, other):
+        return GenFun(MUL, args=(self, other))
+
+    def __truediv__(self, other):
+        return GenFun(DIV, args=(self, other))
+
+    # -- structural equality (used by the observation recognizers;
+    #    reference relies on derived PartialEq) ------------------------
+    def __eq__(self, other):
+        if self is other:
+            return True
+        if not isinstance(other, GenFun):
+            return NotImplemented
+        if self.kind != other.kind:
+            return False
+        if self.kind == VAR:
+            return self.var == other.var
+        if self.kind == CONST:
+            return self.value == other.value
+        if (
+            self.var != other.var
+            or self.order != other.order
+            or self.orders != other.orders
+        ):
+            return False
+        if len(self.args) != len(other.args):
+            return False
+        return all(a == b for a, b in zip(self.args, other.args))
+
+    __hash__ = object.__hash__
+
+    # -- used variables (reference: generating_function.rs:428-449) -----
+    def used_vars(self, cache: Optional[dict] = None) -> int:
+        """Return num_vars = max used var id + 1 (reference VarRange)."""
+        if cache is None:
+            cache = {}
+        key = id(self)
+        if key in cache:
+            return cache[key]
+        k = self.kind
+        if k == VAR:
+            out = self.var + 1
+        elif k == CONST:
+            out = 0
+        elif k == POLYNOMIAL:
+            out = self.order  # ndim
+        elif k == SUBST:
+            g, subst = self.args
+            gv = g.used_vars(cache)
+            if self.var + 1 == gv:
+                gv = self.var
+            out = max(gv, subst.used_vars(cache))
+        elif k == TAYLOR_COEFF_AT_ZERO:
+            gv = self.args[0].used_vars(cache)
+            if self.var + 1 == gv:
+                gv = self.var
+            out = gv
+        else:
+            out = 0
+            for a in self.args:
+                out = max(out, a.used_vars(cache))
+        cache[key] = out
+        return out
+
+    # -- pretty printer (reference: generating_function.rs:330-426) -----
+    def _precedence(self) -> int:
+        k = self.kind
+        if k in (ADD, NEG, POLYNOMIAL):
+            return 0
+        if k in (MUL, DIV):
+            return 1
+        if k == POW:
+            return 2
+        return 10
+
+    def _fmt(self, parent_prec: int, out: list):
+        prec = self._precedence()
+        if prec < parent_prec:
+            out.append("(")
+        k = self.kind
+        if k == VAR:
+            out.append(_var_name(self.var))
+        elif k == CONST:
+            out.append(self.value.display())
+        elif k == ADD:
+            self.args[0]._fmt(prec, out)
+            out.append(" + ")
+            self.args[1]._fmt(prec, out)
+        elif k == NEG:
+            out.append("-")
+            self.args[0]._fmt(prec + 1, out)
+        elif k == MUL:
+            self.args[0]._fmt(prec, out)
+            out.append(" * ")
+            self.args[1]._fmt(prec, out)
+        elif k == DIV:
+            self.args[0]._fmt(prec, out)
+            out.append(" / ")
+            self.args[1]._fmt(prec + 1, out)
+        elif k == POLYNOMIAL:
+            out.append(_fmt_polynomial(self.poly))
+        elif k == EXP:
+            out.append("exp(")
+            self.args[0]._fmt(0, out)
+            out.append(")")
+        elif k == LOG:
+            out.append("log(")
+            self.args[0]._fmt(0, out)
+            out.append(")")
+        elif k == POW:
+            self.args[0]._fmt(prec + 1, out)
+            out.append(f"^{self.order}")
+        elif k == MAX:
+            out.append("max(")
+            self.args[0]._fmt(0, out)
+            out.append(", ")
+            self.args[1]._fmt(0, out)
+            out.append(")")
+        elif k == UNIFORM_MGF:
+            out.append("uniform_mgf(")
+            self.args[0]._fmt(0, out)
+            out.append(")")
+        elif k == SUBST:
+            out.append(f"[{_var_name(self.var)} -> ")
+            self.args[1]._fmt(0, out)
+            out.append(" in ")
+            self.args[0]._fmt(0, out)
+            out.append("]")
+        elif k == DERIVATIVE:
+            out.append(f"d_{_var_name(self.var)}^{self.order}(")
+            self.args[0]._fmt(0, out)
+            out.append(")")
+        elif k == TAYLOR_POLYNOMIAL:
+            out.append("taylor(")
+            self.args[0]._fmt(0, out)
+            out.append(f" of {_var_name(self.var)}^i with i ∈ {self.orders})")
+        elif k == TAYLOR_COEFF_AT_ZERO:
+            out.append("coeff_at_zero(")
+            self.args[0]._fmt(0, out)
+            out.append(f" of {_var_name(self.var)}^{self.order})")
+        elif k == TAYLOR_COEFF:
+            out.append("coeff(")
+            self.args[0]._fmt(0, out)
+            out.append(f" of {_var_name(self.var)}^{self.order})")
+        elif k == SHIFT_TAYLOR_AT_ZERO:
+            out.append("shift(")
+            self.args[0]._fmt(0, out)
+            out.append(f" of {_var_name(self.var)} by {self.order})")
+        if prec < parent_prec:
+            out.append(")")
+
+    def __str__(self):
+        out: list = []
+        self._fmt(0, out)
+        return "".join(out)
+
+    # -- simplification (reference: generating_function.rs:151-177,
+    #    474-545): bottom-up constant/polynomial folding ----------------
+    def simplify(self, backend) -> "GenFun":
+        cache: dict = {}
+        taylor = self._simplify_with(backend, cache)
+        if taylor is not None:
+            nested = taylor.to_nested_host()
+            return GenFun.polynomial(nested, len(taylor.coeffs_shape()))
+        return self
+
+    def _simplify_with(self, backend, cache) -> Optional[TaylorPoly]:
+        key = id(self)
+        if key in cache:
+            return cache[key]
+        result = self._simplify(backend, cache)
+        cache[key] = result
+        return result
+
+    def _simplify(self, backend, cache) -> Optional[TaylorPoly]:
+        k = self.kind
+        if k == VAR:
+            return TaylorPoly.var_with_degrees_p1(
+                backend,
+                self.var,
+                backend.scalar_cls.zero(),
+                (INF_DEGREE,) * (self.var + 1),
+            )
+        if k == CONST:
+            return TaylorPoly.from_scalar(backend, self.value)
+        if k == ADD:
+            p1 = self.args[0]._simplify_with(backend, cache)
+            p2 = self.args[1]._simplify_with(backend, cache)
+            if p1 is not None and p2 is not None:
+                return p1 + p2
+            return None
+        if k == NEG:
+            p = self.args[0]._simplify_with(backend, cache)
+            return -p if p is not None else None
+        if k == MUL:
+            p1 = self.args[0]._simplify_with(backend, cache)
+            p2 = self.args[1]._simplify_with(backend, cache)
+            if p1 is not None and p2 is not None:
+                return p1 * p2
+            return None
+        if k == DIV:
+            p1 = self.args[0]._simplify_with(backend, cache)
+            p2 = self.args[1]._simplify_with(backend, cache)
+            if p1 is not None and p2 is not None and p2.extract_constant() is not None:
+                return p1 / p2
+            return None
+        if k in (POLYNOMIAL, EXP, LOG, MAX, UNIFORM_MGF):
+            return None
+        if k == POW:
+            p = self.args[0]._simplify_with(backend, cache)
+            return p.pow(self.order) if p is not None else None
+        if k == SUBST:
+            p = self.args[0]._simplify_with(backend, cache)
+            q = self.args[1]._simplify_with(backend, cache)
+            if p is not None and q is not None:
+                return p.subst_var(self.var, q)
+            return None
+        if k == DERIVATIVE:
+            p = self.args[0]._simplify_with(backend, cache)
+            return p.derivative(self.var, self.order) if p is not None else None
+        if k == TAYLOR_POLYNOMIAL:
+            p = self.args[0]._simplify_with(backend, cache)
+            if p is not None:
+                return p.taylor_polynomial_terms(self.var, self.orders)
+            return None
+        if k == TAYLOR_COEFF_AT_ZERO:
+            p = self.args[0]._simplify_with(backend, cache)
+            if p is None:
+                return None
+            res = p.coefficients_of_term(self.var, self.order)
+            if self.var + 1 == res.num_vars():
+                res = res.remove_last_variable()
+            return res
+        if k == TAYLOR_COEFF:
+            p = self.args[0]._simplify_with(backend, cache)
+            if p is not None:
+                return p.taylor_expansion_of_coeff(self.var, self.order)
+            return None
+        if k == SHIFT_TAYLOR_AT_ZERO:
+            p = self.args[0]._simplify_with(backend, cache)
+            return p.shift_down(self.var, self.order) if p is not None else None
+        raise AssertionError(f"unknown kind {k}")
+
+    # -- evaluation (reference: generating_function.rs:179-222, 548-765) -
+    def eval(self, backend, inputs, degree_p1: int) -> TaylorPoly:
+        cache: dict = {}
+        return self.eval_with(backend, list(inputs), degree_p1, cache)
+
+    def eval_with(self, backend, inputs, degree_p1, cache) -> TaylorPoly:
+        key = (id(self), degree_p1, _inputs_key(inputs))
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        result = self._eval(backend, inputs, degree_p1, cache)
+        if __debug__:
+            assert all(
+                d == degree_p1 for d in result.degrees_p1
+            ), f"unexpected eval degrees {result.degrees_p1} for target {degree_p1}"
+        cache[key] = result
+        return result
+
+    def _eval(self, backend, inputs, degree_p1, cache) -> TaylorPoly:
+        k = self.kind
+        T = backend.scalar_cls
+        if k == VAR:
+            return TaylorPoly.var(backend, self.var, inputs[self.var], degree_p1)
+        if k == CONST:
+            return TaylorPoly.from_scalar(backend, self.value)
+        if k == ADD:
+            return self.args[0].eval_with(backend, inputs, degree_p1, cache) + \
+                self.args[1].eval_with(backend, inputs, degree_p1, cache)
+        if k == NEG:
+            return -self.args[0].eval_with(backend, inputs, degree_p1, cache)
+        if k == MUL:
+            return self.args[0].eval_with(backend, inputs, degree_p1, cache) * \
+                self.args[1].eval_with(backend, inputs, degree_p1, cache)
+        if k == DIV:
+            return self.args[0].eval_with(backend, inputs, degree_p1, cache) / \
+                self.args[1].eval_with(backend, inputs, degree_p1, cache)
+        if k == POLYNOMIAL:
+            arr = backend.from_nested(self.poly)
+            ndim = len(backend.shape(arr))
+            taylor = TaylorPoly.new(backend, arr, (INF_DEGREE,) * ndim)
+            for v, inp in enumerate(inputs):
+                taylor = taylor.subst_var(
+                    v, TaylorPoly.var(backend, v, inp, degree_p1)
+                )
+            nd = taylor.num_vars()
+            if nd > len(inputs):
+                assert nd == len(inputs) + 1
+                taylor = taylor.remove_last_variable()
+            return taylor.extend_to_dim(len(inputs), degree_p1).truncate_to_degree_p1(
+                degree_p1
+            )
+        if k == EXP:
+            return self.args[0].eval_with(backend, inputs, degree_p1, cache).exp()
+        if k == LOG:
+            return self.args[0].eval_with(backend, inputs, degree_p1, cache).log()
+        if k == MAX:
+            s = self.args[0].eval_with(backend, inputs, degree_p1, cache)
+            t = self.args[1].eval_with(backend, inputs, degree_p1, cache)
+            assert s.is_constant() and t.is_constant(), "Max only for constants"
+            sv = s.constant_term_host()
+            tv = t.constant_term_host()
+            return TaylorPoly.from_scalar(backend, sv.maximum(tv))
+        if k == POW:
+            return self.args[0].eval_with(backend, inputs, degree_p1, cache).pow(
+                self.order
+            )
+        if k == UNIFORM_MGF:
+            x = self.args[0].eval_with(backend, inputs, degree_p1, cache)
+            c = _const_term_host(x)
+            if c.is_zero():
+                # evaluate (e^y - 1)/y as a series in y, then substitute
+                y = TaylorPoly.var_at_zero(backend, 0, degree_p1 + 1)
+                numerator = y.exp() - TaylorPoly.one(backend)
+                arr = backend.slice_axis(
+                    numerator.coeffs, 0, 1, backend.shape(numerator.coeffs)[0]
+                )
+                fraction = TaylorPoly.new(backend, arr, (degree_p1,))
+                return fraction.subst_var(0, x)
+            numerator = x.exp() - TaylorPoly.one(backend)
+            return (numerator / x).truncate_to_degree_p1(degree_p1)
+        if k == SUBST:
+            g, replacement = self.args
+            v = self.var
+            subst = replacement.eval_with(backend, inputs, degree_p1, cache)
+            c = _const_term_host(subst)
+            subst = subst - TaylorPoly.from_scalar(backend, c)
+            new_inputs = list(inputs)
+            if v < len(inputs):
+                new_inputs[v] = c
+            else:
+                assert v == len(inputs)
+                new_inputs.append(c)
+            taylor = g.eval_with(backend, new_inputs, degree_p1, cache)
+            result = taylor.subst_var(v, subst)
+            if len(taylor.degrees_p1) > len(inputs):
+                assert len(taylor.degrees_p1) == len(inputs) + 1
+                result = result.remove_last_variable()
+            return result
+        if k == DERIVATIVE:
+            taylor = self.args[0].eval_with(
+                backend, inputs, degree_p1 + self.order, cache
+            )
+            return taylor.derivative(self.var, self.order).truncate_to_degree_p1(
+                degree_p1
+            )
+        if k == TAYLOR_POLYNOMIAL:
+            v = self.var
+            new_inputs = list(inputs)
+            new_inputs[v] = T.zero()
+            max_order = max(self.orders) if self.orders else 0
+            taylor = self.args[0].eval_with(
+                backend, new_inputs, degree_p1 + max_order, cache
+            )
+            result = taylor.taylor_polynomial_terms(v, self.orders)
+            result = result.subst_var(
+                v, TaylorPoly.var(backend, v, inputs[v], degree_p1)
+            )
+            return result.truncate_to_degree_p1(degree_p1)
+        if k == TAYLOR_COEFF_AT_ZERO:
+            return _eval_taylor_coeff_at_zero(
+                self.args[0], self.var, self.order, backend, inputs, degree_p1, cache
+            )
+        if k == TAYLOR_COEFF:
+            taylor = self.args[0].eval_with(
+                backend, inputs, degree_p1 + self.order, cache
+            )
+            result = taylor.taylor_expansion_of_coeff(self.var, self.order)
+            return result.truncate_to_degree_p1(degree_p1)
+        if k == SHIFT_TAYLOR_AT_ZERO:
+            g = self.args[0]
+            v, order = self.var, self.order
+            if inputs[v].is_zero():
+                taylor = g.eval_with(backend, inputs, degree_p1 + order, cache)
+                return taylor.shift_down(v, order).truncate_to_degree_p1(degree_p1)
+            first_terms = g.taylor_polynomial_at_zero(v, list(range(order)))
+            additional_mass = first_terms.substitute_var(v, GenFun.one(T))
+            h = (g - first_terms) / GenFun.var_(v).pow(order) + additional_mass
+            return h.eval_with(backend, inputs, degree_p1, cache)
+        raise AssertionError(f"unknown kind {k}")
+
+    # Conversion to the closed-form symbolic representation lives in
+    # genfer_tpu.gf.symbolic (to_computation).
+
+
+def _var_name(i: int) -> str:
+    if i < 26:
+        return chr(ord("a") + i)
+    return f"x_{i}"
+
+
+def _fmt_polynomial(nested) -> str:
+    """Pretty-print a coefficient tensor as a polynomial
+    (reference: multivariate_taylor.rs:694-724)."""
+    terms = []
+
+    def rec(n, index):
+        if isinstance(n, list):
+            for i, x in enumerate(n):
+                rec(x, index + [i])
+        else:
+            if n.is_zero():
+                return
+            s = n.display()
+            for v, e in enumerate(index):
+                if e == 0:
+                    continue
+                s += _var_name(v)
+                if e > 1:
+                    s += f"^{e}"
+            terms.append(s)
+
+    rec(nested, [])
+    if not terms:
+        return "0"
+    return " + ".join(terms)
+
+
+def _inputs_key(inputs):
+    return tuple(inputs)
+
+
+def _const_term_host(poly: TaylorPoly):
+    """Constant term as a host scalar, using metadata when available to
+    avoid a device sync."""
+    if poly.host_const is not None and poly.is_constant():
+        return poly.host_const
+    if poly.linear is not None:
+        return poly.linear[0]
+    return poly.constant_term_host()
+
+
+# ----------------------------------------------------------------------
+# TaylorCoeffAtZero evaluation with observation optimizers
+# (reference: generating_function.rs:670-765)
+# ----------------------------------------------------------------------
+
+def _eval_taylor_coeff_at_zero(g, v, order, backend, inputs, degree_p1, cache):
+    T = backend.scalar_cls
+    rec = _recognize_discrete_poisson_observation(g, v)
+    if rec is not None:
+        # compound Poisson (discrete parameter): iterate D(G) = λ·y·G'(y)
+        # then substitute y -> e^(-λ)·y, folding 1/n! per step
+        # (reference: generating_function.rs:678-694)
+        param_var, lam, inner = rec
+        gf = inner
+        for k in range(1, order + 1):
+            gf = (
+                gf.derive(param_var, 1)
+                * GenFun.var_(param_var)
+                * GenFun.constant(lam / T.from_u32(k))
+            )
+        replacement = GenFun.constant((-lam).exp()) * GenFun.var_(param_var)
+        gf = gf.substitute_var(param_var, replacement)
+        result = gf.eval_with(backend, inputs, degree_p1, cache)
+        return result.truncate_to_degree_p1(degree_p1)
+    rec = _recognize_continuous_poisson_observation(g, v)
+    if rec is not None:
+        # compound Poisson (continuous parameter): D(G) = λ·G'(y), then
+        # substitute y -> y - λ (reference: 695-711)
+        param_var, lam, inner = rec
+        gf = inner
+        for k in range(1, order + 1):
+            gf = gf.derive(param_var, 1) * GenFun.constant(lam / T.from_u32(k))
+        replacement = GenFun.var_(param_var) - GenFun.constant(lam)
+        gf = gf.substitute_var(param_var, replacement)
+        result = gf.eval_with(backend, inputs, degree_p1, cache)
+        return result.truncate_to_degree_p1(degree_p1)
+    rec = _recognize_negative_binomial_observation(g, v)
+    if rec is not None:
+        # NegBinomial via Lah-number recurrence (reference: 712-751)
+        param_var, p, inner = rec
+        one_mp = T.one() - p
+        lahs = [T.one()]
+        for d in range(1, order + 1):
+            nxt = []
+            for i in range(d + 1):
+                lah_dm1_i = lahs[i] if i < len(lahs) else T.zero()
+                lah_dm1_im1 = lahs[i - 1] if 1 <= i <= len(lahs) else T.zero()
+                lah_d_i = (
+                    one_mp
+                    / T.from_u32(d)
+                    * (lah_dm1_i * T.from_u32(d + i - 1) + lah_dm1_im1)
+                )
+                nxt.append(lah_d_i)
+            lahs = nxt
+        total = TaylorPoly.zero_with(backend, (degree_p1,) * len(inputs))
+        new_inputs = list(inputs)
+        new_inputs[param_var] = p * inputs[param_var]
+        inner_result = inner.eval_with(backend, new_inputs, degree_p1 + order, cache)
+        p_var_power = TaylorPoly.one(backend)
+        param_var_tp = TaylorPoly.var(backend, param_var, inputs[param_var], degree_p1)
+        p_param_var = TaylorPoly.from_scalar(backend, p) * param_var_tp
+        for lah in lahs:
+            subst = TaylorPoly.from_scalar(backend, p) * TaylorPoly.var_at_zero(
+                backend, param_var, degree_p1
+            )
+            total = total + (
+                inner_result.subst_var(param_var, subst)
+                * p_var_power
+                * TaylorPoly.from_scalar(backend, lah)
+            )
+            p_var_power = p_var_power * p_param_var
+            inner_result = inner_result.derivative(param_var, 1)
+        return total.truncate_to_degree_p1(degree_p1)
+    # general case (reference: 752-765)
+    T = backend.scalar_cls
+    new_inputs = list(inputs)
+    if v == len(inputs):
+        new_inputs.append(T.zero())
+        taylor = g.eval_with(backend, new_inputs, degree_p1 + order, cache)
+        result = taylor.coefficients_of_term(v, order).remove_last_variable()
+    else:
+        new_inputs[v] = T.zero()
+        taylor = g.eval_with(backend, new_inputs, degree_p1 + order, cache)
+        result = taylor.coefficients_of_term(v, order)
+    return result.truncate_to_degree_p1(degree_p1)
+
+
+# pattern recognizers (reference: generating_function.rs:840-914)
+
+def _recognize_discrete_poisson_observation(g: GenFun, aux_var: int):
+    """Match Subst(inner, w, w * exp(λ·(x_aux - 1)))."""
+    if g.kind != SUBST:
+        return None
+    inner, repl = g.args
+    param_var = g.var
+    if repl.kind != MUL:
+        return None
+    lhs, rhs = repl.args
+    if not (lhs.kind == VAR and lhs.var == param_var):
+        return None
+    if rhs.kind != EXP:
+        return None
+    h = rhs.args[0]
+    if h.kind != MUL:
+        return None
+    c, d = h.args
+    if c.kind != CONST:
+        return None
+    if _is_var_minus_one(d, aux_var):
+        return (param_var, c.value, inner)
+    return None
+
+
+def _recognize_continuous_poisson_observation(g: GenFun, aux_var: int):
+    """Match Subst(inner, w, w + λ·(x_aux - 1))."""
+    if g.kind != SUBST:
+        return None
+    inner, repl = g.args
+    param_var = g.var
+    if repl.kind != ADD:
+        return None
+    lhs, rhs = repl.args
+    if not (lhs.kind == VAR and lhs.var == param_var):
+        return None
+    if rhs.kind != MUL:
+        return None
+    c, d = rhs.args
+    if c.kind != CONST:
+        return None
+    if _is_var_minus_one(d, aux_var):
+        return (param_var, c.value, inner)
+    return None
+
+
+def _recognize_negative_binomial_observation(g: GenFun, aux_var: int):
+    """Match Subst(inner, w, w * (p / (1 - (1-p)·x_aux)))."""
+    if g.kind != SUBST:
+        return None
+    inner, repl = g.args
+    param_var = g.var
+    if repl.kind != MUL:
+        return None
+    lhs, rhs = repl.args
+    if not (lhs.kind == VAR and lhs.var == param_var):
+        return None
+    if rhs.kind != DIV:
+        return None
+    num, den = rhs.args
+    if num.kind != CONST:
+        return None
+    p = num.value
+    expected = GenFun.one(type(p)) - GenFun.constant(
+        type(p).one() - p
+    ) * GenFun.var_(aux_var)
+    if den == expected:
+        return (param_var, p, inner)
+    return None
+
+
+def _is_var_minus_one(node: GenFun, v: int) -> bool:
+    """Match ``Var(v) - 1`` which is ``Add(Var(v), Neg(Const(1)))``."""
+    if node.kind != ADD:
+        return False
+    a, b = node.args
+    if not (a.kind == VAR and a.var == v):
+        return False
+    if b.kind != NEG:
+        return False
+    c = b.args[0]
+    return c.kind == CONST and c.value.is_one()
