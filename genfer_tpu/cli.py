@@ -1,0 +1,439 @@
+"""Command-line driver (reference: src/main.rs).
+
+Implements the full inference pipeline: parse -> translate to GF ->
+simplify -> extract moments and probability masses -> print (with interval
+clamping and rest-mass corrections exactly as the reference,
+main.rs:301-473) -> optional JSON export.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from pathlib import Path
+
+from .gf.extract import (
+    central_to_standardized_moments,
+    moments_taylor,
+    moments_to_central_moments,
+    probs_taylor,
+)
+from .lang.parser import parse_program
+from .numbers.scalar import (
+    F64,
+    BigFloat,
+    Interval,
+    MultiPrec,
+    Rational,
+    set_precision,
+)
+from .semantics.gf_transformer import GfTransformer
+from .semantics.supportset import SupportSet
+
+MAX_PROB_LIMIT = 1000
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="genfer",
+        description="Exact Bayesian inference on discrete probabilistic "
+        "programs via probability generating functions (TPU-native).",
+    )
+    p.add_argument("file_name", type=Path)
+    num = p.add_mutually_exclusive_group()
+    num.add_argument("--big-float", action="store_true",
+                     help="floats with a wider exponent to prevent under-/overflow")
+    num.add_argument("-p", "--precision", type=int, default=None,
+                     help="floating point numbers with this many bits of precision")
+    num.add_argument("-r", "--rational", action="store_true",
+                     help="exact rational arithmetic")
+    p.add_argument("-b", "--bounds", action="store_true",
+                   help="bound rounding errors with interval arithmetic")
+    p.add_argument("--no-simplify-gf", action="store_true")
+    p.add_argument("-s", "--symbolic", action="store_true",
+                   help="represent generating functions symbolically")
+    p.add_argument("-u", "--unroll", type=int, default=8)
+    p.add_argument("--print-program", action="store_true")
+    p.add_argument("--print-gf", action="store_true")
+    p.add_argument("--no-timing", action="store_true")
+    p.add_argument("--no-probs", action="store_true")
+    p.add_argument("-l", "--limit", type=int, default=None)
+    p.add_argument("--json", type=Path, default=None)
+    p.add_argument("--backend", choices=["jax", "object"], default=None,
+                   help="force an array backend (default: jax for float "
+                   "modes, object for exact modes)")
+    return p
+
+
+def select_mode(args):
+    """Choose (host scalar type, array backend) mirroring the reference's
+    monomorphized dispatch (main.rs:108-143)."""
+    from .taylor.backend import JaxF64Backend, JaxIntervalBackend, ObjectBackend
+
+    if args.rational:
+        elem = Rational
+    elif args.precision is not None:
+        set_precision(args.precision)
+        elem = MultiPrec
+    elif args.big_float:
+        elem = BigFloat
+    else:
+        elem = F64
+
+    force_object = args.backend == "object"
+    if args.bounds:
+        T = Interval.over(elem)
+        if elem is F64 and not force_object:
+            backend = JaxIntervalBackend()
+        else:
+            backend = ObjectBackend(T)
+        return T, backend, elem
+    T = elem
+    if elem is F64 and not force_object:
+        backend = JaxF64Backend()
+    else:
+        backend = ObjectBackend(T)
+    return T, backend, elem
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+    _enable_x64()
+    text = args.file_name.read_text(encoding="utf-8")
+    program = parse_program(text)
+    if args.print_program:
+        print(f"Parsed program:\n{program}\n")
+    run(program, args)
+
+
+def _enable_x64():
+    try:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    except Exception:
+        pass
+
+
+def run(program, args):
+    T, backend, elem = select_mode(args)
+    IV = Interval.over(elem) if not args.bounds else T
+    inference_start = time.perf_counter()
+    uses_observe = program.uses_observe()
+    translation = translate_program_to_gf(T, backend, program, args)
+    gf_translation_time = time.perf_counter() - inference_start
+    var_info = translation.var_info
+    num_vars = var_info.num_vars()
+
+    if args.symbolic:
+        from .gf.symbolic import (
+            moments_symbolic,
+            probs_symbolic,
+            to_computation,
+        )
+
+        sym_gf = to_computation(translation.gf, T)
+        sym_rest = to_computation(translation.rest, T)
+        rest_fn = lambda: sym_rest.evaluate_closed()
+        moments_fn = lambda limit: moments_symbolic(
+            sym_gf, program.result, var_info, limit
+        )
+        probs_fn = lambda limit: probs_symbolic(
+            sym_gf, program.result, var_info, limit
+        )
+    else:
+        rest_fn = lambda: translation.rest.eval(
+            backend, [T.zero()] * num_vars, 1
+        ).constant_term_host()
+        moments_fn = lambda limit: moments_taylor(
+            translation.gf, backend, program.result, var_info, limit
+        )
+        probs_fn = lambda limit: probs_taylor(
+            translation.gf, backend, program.result, var_info, limit
+        )
+
+    if args.bounds:
+        # scalars are already intervals
+        wrap = lambda x: x
+        wrap_moments = lambda tm: tm
+        wrap_list = lambda xs: xs
+    else:
+        wrap = IV.precisely
+        wrap_moments = lambda tm: (IV.precisely(tm[0]),
+                                   [IV.precisely(m) for m in tm[1]])
+        wrap_list = lambda xs: [IV.precisely(x) for x in xs]
+
+    print_moments_and_probs_interval(
+        IV,
+        lambda: wrap(rest_fn()),
+        lambda limit: wrap_moments(moments_fn(limit)),
+        lambda limit: wrap_list(probs_fn(limit)),
+        var_info[program.result],
+        translation.rest_info[program.result],
+        uses_observe,
+        args,
+        inference_start,
+        gf_translation_time,
+    )
+
+
+def translate_program_to_gf(T, backend, program, args):
+    start = time.perf_counter()
+    translation = GfTransformer(T, unroll=args.unroll).semantics(program)
+    if not args.no_simplify_gf:
+        translation.gf = translation.gf.simplify(backend)
+        translation.rest = translation.rest.simplify(backend)
+    if args.print_gf:
+        print(f"Generating function:\n{translation.gf}\n")
+        print(f"Remaining mass:\n{translation.rest}\n")
+    print_elapsed(start, "Time to construct the generating function: ", args)
+    return translation
+
+
+# ----------------------------------------------------------------------
+# printing pipeline (reference: main.rs:256-577)
+# ----------------------------------------------------------------------
+
+def in_interval(iv, print_intervals: bool) -> str:
+    point = iv.extract_point()
+    if point is not None:
+        return f"= {point.display()}"
+    if not print_intervals:
+        return f"= {iv.center().display()}"
+    return f"∈ [{iv.lo.display()}, {iv.hi.display()}]"
+
+
+class Moments:
+    __slots__ = (
+        "total", "mean", "raw2nd", "raw3rd", "raw4th", "variance", "stddev",
+        "central3rd", "central4th", "skewness", "kurtosis",
+    )
+
+
+def moments_to_moments_struct(total, moments) -> Moments:
+    """reference: main.rs:508-543."""
+    raw2nd, raw3rd, raw4th = moments[1], moments[2], moments[3]
+    mean, central_moments = moments_to_central_moments(moments)
+    central3rd, central4th = central_moments[1], central_moments[2]
+    variance, std_moments = central_to_standardized_moments(central_moments)
+    skewness, kurtosis = std_moments[0], std_moments[1]
+    stddev = variance.sqrt()
+    zero = type(total).zero()
+    assert not any(m < zero for m in moments), (
+        "moments must be non-negative for distributions supported on the "
+        "natural numbers"
+    )
+    assert not (variance < zero), "variance must be non-negative"
+    assert not (kurtosis < zero), "kurtosis must be non-negative"
+    m = Moments()
+    m.total = total
+    m.mean = mean
+    m.raw2nd = raw2nd
+    m.raw3rd = raw3rd
+    m.raw4th = raw4th
+    m.variance = variance
+    m.stddev = stddev
+    m.central3rd = central3rd
+    m.central4th = central4th
+    m.skewness = skewness
+    m.kurtosis = kurtosis
+    return m
+
+
+def print_moments(m: Moments, pi: bool):
+    print(f"Total measure:             Z {in_interval(m.total, pi)}")
+    print(f"Expected value:            E {in_interval(m.mean, pi)}")
+    print(f"2nd raw moment:         μ'_2 {in_interval(m.raw2nd, pi)}")
+    print(f"3rd raw moment:         μ'_3 {in_interval(m.raw3rd, pi)}")
+    print(f"4th raw moment:         μ'_4 {in_interval(m.raw4th, pi)}")
+    print(f"Standard deviation:        σ {in_interval(m.stddev, pi)}")
+    print(f"Variance (2nd central):    V {in_interval(m.variance, pi)}")
+    print(f"3rd central moment:      μ_3 {in_interval(m.central3rd, pi)}")
+    print(f"4th central moment:      μ_4 {in_interval(m.central4th, pi)}")
+    print(f"Skewness (3rd std moment): S {in_interval(m.skewness, pi)}")
+    print(f"Kurtosis (4th std moment): K {in_interval(m.kurtosis, pi)}")
+
+
+def print_moments_and_probs_interval(
+    IV, rest_fn, moments_fn, probs_fn, var_info: SupportSet,
+    rest_info: SupportSet, uses_observe: bool, args, inference_start,
+    gf_translation_time,
+):
+    E = IV._elem
+    print(f"Support is a subset of: {var_info}")
+    print()
+    print("Computing moments...")
+    rest = (
+        rest_fn()
+        .ensure_lower_bound(E.zero())
+        .ensure_upper_bound(E.one())
+        .union(E.zero())
+    )
+    moment_start = time.perf_counter()
+    total, moments = moments_fn(5)
+    total = total.ensure_lower_bound(E.zero()).ensure_upper_bound(E.one())
+    total_without_rest = total
+    max_rest = IV.one() - total_without_rest
+    rest = rest.ensure_upper_bound(max_rest.hi)
+    total = (total + rest).ensure_upper_bound(E.one())
+    moments = [m.ensure_lower_bound(E.zero()) for m in moments]
+    rng = rest_info.to_interval_scalar(IV)
+    if rng is not None:
+        for i in range(len(moments)):
+            exponent = i + 1
+            added = rest.hi * rng.hi.pow_u32(exponent)
+            moments[i] = moments[i] + IV.exact(E.zero(), added)
+    ms = moments_to_moments_struct(total, moments)
+    ms.variance = ms.variance.ensure_lower_bound(E.zero())
+    ms.stddev = ms.stddev.ensure_lower_bound(E.zero())
+    ms.kurtosis = ms.kurtosis.ensure_lower_bound(E.zero())
+    print_moments(ms, args.bounds or not rest.is_zero())
+    time_for_moments = time.perf_counter() - moment_start
+    print_elapsed(moment_start, "Time to compute moments: ", args)
+    probs_data = None
+    if not (args.no_probs or not var_info.is_discrete() or total.is_zero()):
+        probs_start = time.perf_counter()
+        probs = print_probs(
+            IV, args, rest, total_without_rest, moments, var_info, rest_info,
+            uses_observe, probs_fn, probs_start,
+        )
+        probs_data = (probs, time.perf_counter() - probs_start)
+    print_elapsed(inference_start, "Total inference time: ", args)
+    if args.json is not None:
+        if rest.is_zero():
+            print_json(
+                ms, time_for_moments, probs_data, gf_translation_time,
+                time.perf_counter() - inference_start, args,
+            )
+        else:
+            print(
+                "Could not write JSON file because results are only bounds "
+                "due to the presence of loops.",
+                file=sys.stderr,
+            )
+
+
+def print_probs(IV, args, rest, total_without_rest, moments, var_info,
+                rest_info, uses_observe, probs_fn, probs_start):
+    """reference: main.rs:384-473."""
+    E = IV._elem
+    print()
+    total = (total_without_rest + rest).ensure_upper_bound(E.one())
+    if args.limit is not None:
+        limit = args.limit
+    elif total.is_zero():
+        limit = 1
+    else:
+        rng = var_info.finite_nonempty_range()
+        if rng is not None:
+            limit = rng.stop
+        else:
+            # Markov bound: P(X >= limit) <= 1/256 (reference: main.rs:404-416)
+            mean, central_moments = moments_to_central_moments(moments)
+            c4 = central_moments[2].hi.to_float()
+            central4th_root = math.sqrt(math.sqrt(c4)) if c4 >= 0 else math.nan
+            raw_limit = mean.hi.to_float() + 4.0 * central4th_root
+            raw_limit = math.ceil(raw_limit) if math.isfinite(raw_limit) else raw_limit
+            if math.isfinite(raw_limit):
+                limit = min(int(raw_limit) + 1, MAX_PROB_LIMIT)
+            else:
+                print("Failed to find a limit automatically due to non-finite moments.")
+                print("Please specify a limit manually with `--limit`.")
+                print("Using a limit of 2 for now.")
+                limit = 2
+    print(f"Computing probabilities up to {limit}...")
+    is_normalized = not uses_observe or total.is_one()
+    mass_missing = total_without_rest
+    probs = probs_fn(limit)
+    print_intervals = args.bounds or not rest.is_zero()
+    for i in range(limit):
+        p = probs[i]
+        mass_missing = mass_missing - p
+        if rest_info.contains(i):
+            p = p + rest
+        assert not (p < IV.zero() or p > IV.one()), (
+            f"p({i}) = {p.display()} is not a probability"
+        )
+        p = p.ensure_lower_bound(E.zero()).ensure_upper_bound(E.one())
+        probs[i] = p
+        if is_normalized:
+            print(f"p({i}) {in_interval(p, print_intervals)}")
+        else:
+            unnormalized = in_interval(p, print_intervals)
+            normalized_p = (p / total).ensure_lower_bound(E.zero()).ensure_upper_bound(
+                E.one()
+            )
+            normalized = in_interval(normalized_p, print_intervals)
+            print(f"Unnormalized: p({i})     {unnormalized}")
+            print(f"Normalized:   p({i}) / Z {normalized}")
+    up_to_limit = SupportSet.range_incl(0, limit - 1)
+    if not rest_info.is_subset_of(up_to_limit):
+        mass_missing = mass_missing + rest
+    if var_info.is_subset_of(up_to_limit):
+        mass_missing = IV.zero()
+    mass_missing_unnorm = mass_missing.hi.maximum(E.zero()).minimum(E.one())
+    mass_missing_norm = (
+        (mass_missing / total).hi.maximum(E.zero()).minimum(E.one())
+    )
+    if is_normalized:
+        print(f"p(n) <= {mass_missing_unnorm.display()} for all n >= {limit}")
+    else:
+        print(
+            f"Unnormalized: p(n)     <= {mass_missing_unnorm.display()} "
+            f"for all n >= {limit}"
+        )
+        print(
+            f"Normalized:   p(n) / Z <= {mass_missing_norm.display()} "
+            f"for all n >= {limit}"
+        )
+    print_elapsed(probs_start, "Time to compute probability masses: ", args)
+    return probs
+
+
+def print_elapsed(start, text, args):
+    """reference: main.rs:579-593."""
+    if args.no_timing:
+        return
+    elapsed = time.perf_counter() - start
+    if elapsed < 0.001:
+        print(f"{text}{elapsed:.6f}s")
+    elif elapsed < 0.01:
+        print(f"{text}{elapsed:.5f}s")
+    elif elapsed < 0.1:
+        print(f"{text}{elapsed:.4f}s")
+    else:
+        print(f"{text}{elapsed:.3f}s")
+
+
+def print_json(ms: Moments, time_for_moments, probs_data,
+               gf_translation_time, inference_time, args):
+    """reference: main.rs:595-645 (hand-formatted JSON, same schema)."""
+    model_name = args.file_name.stem
+    masses, time_for_probs = ([], 0.0)
+    if probs_data is not None:
+        masses = [p.center().display() for p in probs_data[0]]
+        time_for_probs = probs_data[1]
+    body = f"""
+{{
+    "model": "{model_name}",
+    "system": "genfer_tpu",
+    "time_gf_translation": {gf_translation_time},
+    "total": {ms.total.center().display()},
+    "mean": {ms.mean.center().display()},
+    "variance": {ms.variance.center().display()},
+    "stddev": {ms.stddev.center().display()},
+    "skewness": {ms.skewness.center().display()},
+    "kurtosis": {ms.kurtosis.center().display()},
+    "time_moments": {time_for_moments},
+    "masses": [{''.join(m + ', ' for m in masses)}],
+    "time_probs": {time_for_probs},
+    "time_infer": {inference_time},
+}}
+"""
+    args.json.write_text(body)
+
+
+if __name__ == "__main__":
+    main()
