@@ -1,0 +1,173 @@
+"""Device-mesh sharding of the Taylor engine.
+
+The reference is single-threaded Rust with no distributed backend
+(SURVEY.md §2.9); the TPU-native scaling story is *intra-op*: coefficient
+tensors of ``O(order^num_vars)`` elements are sharded over mesh axes and
+the truncated Cauchy-product kernels become blocked MXU matmuls whose
+collectives ride ICI.
+
+Axes:
+
+* ``dp`` - data parallel over independent evaluation points / programs
+  (the batched probability-extraction dimension, reference
+  main.rs:424-449 loops over extraction indices sequentially),
+* ``tp`` - tensor parallel over blocks of the *output* coefficient axis:
+  each device computes one block of output rows of the Cauchy product
+  from (replicated) inputs; inputs are O(order^n) while compute is
+  O(order^{n+1})-ish, so replicating inputs and sharding the output
+  space is the bandwidth-optimal layout until orders get very large.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+
+def _jax():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    return jax
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None):
+    """Create a (dp, tp) mesh over the available devices."""
+    jax = _jax()
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if dp is None:
+        dp = 2 if (n >= 4 and n % 2 == 0) else 1
+    tp = n // dp
+    assert dp * tp == n, f"mesh {dp}x{tp} does not cover {n} devices"
+    mesh_devices = np.array(devices).reshape(dp, tp)
+    from jax.sharding import Mesh
+
+    return Mesh(mesh_devices, ("dp", "tp"))
+
+
+def _toeplitz(jnp, a, out_len, b_len, row_offset=0):
+    la = a.shape[0]
+    k = jnp.arange(out_len)[:, None] + row_offset
+    j = jnp.arange(b_len)[None, :]
+    idx = k - j
+    valid = (idx >= 0) & (idx < la)
+    g = a[jnp.clip(idx, 0, la - 1)]
+    valid = valid.reshape(valid.shape + (1,) * (g.ndim - 2))
+    return jnp.where(valid, g, 0.0)
+
+
+def sharded_conv_1d(mesh, a, b, out_len: int):
+    """Truncated 1-D Cauchy product with the output rows sharded over the
+    ``tp`` mesh axis; inputs replicated (they are O(n) vs O(n^2) compute)."""
+    jax = _jax()
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape["tp"]
+    assert out_len % tp == 0, "out_len must divide the tp axis"
+    block = out_len // tp
+
+    def kernel(a_full, b_full):
+        r = jax.lax.axis_index("tp")
+        T = _toeplitz(jnp, a_full, block, b_full.shape[0], row_offset=r * block)
+        return T @ b_full
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P("tp"),
+        check_rep=False,
+    )
+    return fn(a, b)
+
+
+def sharded_conv_2d(mesh, a, b, out_shape):
+    """Truncated 2-D Cauchy product, output rows (axis 0) sharded over
+    ``tp``.  Each device runs the two-step Toeplitz/one-hot contraction
+    for its row block (see genfer_tpu.taylor.backend._conv_dense)."""
+    jax = _jax()
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    c0, c1 = out_shape
+    tp = mesh.shape["tp"]
+    assert c0 % tp == 0
+    block = c0 // tp
+
+    def kernel(a_full, b_full):
+        r = jax.lax.axis_index("tp")
+        a0, a1 = a_full.shape
+        b0, b1 = b_full.shape
+        Ta = _toeplitz(jnp, a_full, block, b0, row_offset=r * block)
+        H = jnp.einsum("kji,jl->kil", Ta, b_full)
+        i = jnp.arange(a1)[:, None, None]
+        j = jnp.arange(b1)[None, :, None]
+        k = jnp.arange(c1)[None, None, :]
+        E1 = ((i + j) == k).astype(a_full.dtype)
+        return jnp.einsum("kij,ijl->kl", H, E1)
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P("tp"),
+        check_rep=False,
+    )
+    return fn(a, b)
+
+
+def sharded_inference_step(mesh, batch_a, batch_b, out_shape):
+    """One full sharded inference step on a batch of 2-D coefficient
+    tensors: dp-sharded batch, tp-sharded Cauchy product, followed by the
+    marginalization reduction ``evaluate_all_one`` (sum of all
+    coefficients, reference multivariate_taylor.rs:582-586) via a psum
+    over the tp axis.
+
+    Returns (products, totals): the batched truncated products and their
+    total masses."""
+    jax = _jax()
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    c0, c1 = out_shape
+    tp = mesh.shape["tp"]
+    dp = mesh.shape["dp"]
+    assert c0 % tp == 0 and batch_a.shape[0] % dp == 0
+    block = c0 // tp
+
+    def kernel(a_blk, b_blk):
+        # a_blk: [batch/dp, a0, a1]; compute this device's row block of the
+        # product for each batch element
+        r = jax.lax.axis_index("tp")
+
+        def one(a_full, b_full):
+            b0, b1 = b_full.shape
+            a1 = a_full.shape[1]
+            Ta = _toeplitz(jnp, a_full, block, b0, row_offset=r * block)
+            H = jnp.einsum("kji,jl->kil", Ta, b_full)
+            i = jnp.arange(a1)[:, None, None]
+            j = jnp.arange(b1)[None, :, None]
+            k = jnp.arange(c1)[None, None, :]
+            E1 = ((i + j) == k).astype(a_full.dtype)
+            return jnp.einsum("kij,ijl->kl", H, E1)
+
+        prod = jax.vmap(one)(a_blk, b_blk)
+        # total mass: local partial sum, then reduce over the sharded axis
+        totals = jax.lax.psum(jnp.sum(prod, axis=(1, 2)), "tp")
+        return prod, totals
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp")),
+        out_specs=(P("dp", "tp"), P("dp")),
+        check_rep=False,
+    )
+    return fn(batch_a, batch_b)
