@@ -173,8 +173,9 @@ class GenFun:
         if cache is None:
             cache = {}
         key = id(self)
-        if key in cache:
-            return cache[key]
+        hit = cache.get(key)
+        if hit is not None and hit[0] is self:
+            return hit[1]
         k = self.kind
         if k == VAR:
             out = self.var + 1
@@ -197,7 +198,7 @@ class GenFun:
             out = 0
             for a in self.args:
                 out = max(out, a.used_vars(cache))
-        cache[key] = out
+        cache[key] = (self, out)
         return out
 
     # -- pretty printer (reference: generating_function.rs:330-426) -----
@@ -304,10 +305,11 @@ class GenFun:
 
     def _simplify_with(self, backend, cache) -> Optional[TaylorPoly]:
         key = id(self)
-        if key in cache:
-            return cache[key]
+        hit = cache.get(key)
+        if hit is not None and hit[0] is self:
+            return hit[1]
         result = self._simplify(backend, cache)
-        cache[key] = result
+        cache[key] = (self, result)
         return result
 
     def _simplify(self, backend, cache) -> Optional[TaylorPoly]:
@@ -385,16 +387,19 @@ class GenFun:
         return self.eval_with(backend, list(inputs), degree_p1, cache)
 
     def eval_with(self, backend, inputs, degree_p1, cache) -> TaylorPoly:
+        # NOTE: the cache stores the node itself to pin its id: Python
+        # reuses ids of collected objects, and the observation optimizers
+        # build many short-lived nodes during evaluation.
         key = (id(self), degree_p1, _inputs_key(inputs))
         hit = cache.get(key)
-        if hit is not None:
-            return hit
+        if hit is not None and hit[0] is self:
+            return hit[1]
         result = self._eval(backend, inputs, degree_p1, cache)
         if __debug__:
             assert all(
                 d == degree_p1 for d in result.degrees_p1
             ), f"unexpected eval degrees {result.degrees_p1} for target {degree_p1}"
-        cache[key] = result
+        cache[key] = (self, result)
         return result
 
     def _eval(self, backend, inputs, degree_p1, cache) -> TaylorPoly:

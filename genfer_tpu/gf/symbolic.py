@@ -276,8 +276,8 @@ class SymGenFun:
         def subst(term: SymGenFun) -> SymGenFun:
             key = id(term)
             hit = cache.get(key)
-            if hit is not None:
-                return hit
+            if hit is not None and hit[0] is term:
+                return hit[1]
             k = term.kind
             if k == VARIABLE:
                 out = val if term.var == v else term
@@ -302,7 +302,7 @@ class SymGenFun:
                 out = term if a2 is term.a else SymGenFun.pow_(a2, term.n)
             else:
                 raise AssertionError(k)
-            cache[key] = out
+            cache[key] = (term, out)
             return out
 
         return subst(self)
@@ -314,8 +314,8 @@ class SymGenFun:
         def d(term: SymGenFun) -> SymGenFun:
             key = id(term)
             hit = cache.get(key)
-            if hit is not None:
-                return hit
+            if hit is not None and hit[0] is term:
+                return hit[1]
             k = term.kind
             if k == VARIABLE:
                 out = SymGenFun.one(T) if term.var == var else SymGenFun.zero(T)
@@ -347,7 +347,7 @@ class SymGenFun:
                 )
             else:
                 raise AssertionError("Maximum shouldn't be differentiated.")
-            cache[key] = out
+            cache[key] = (term, out)
             return out
 
         return d(self)
@@ -367,8 +367,8 @@ class SymGenFun:
         def tc(term: SymGenFun) -> TaylorExpansion:
             key = id(term)
             hit = cache.get(key)
-            if hit is not None:
-                return hit
+            if hit is not None and hit[0] is term:
+                return hit[1]
             k = term.kind
             if k == VARIABLE:
                 if term.var == var:
@@ -395,7 +395,7 @@ class SymGenFun:
                 out = tc(term.a).pow_u32(term.n)
             else:
                 raise AssertionError("Maximum shouldn't be differentiated.")
-            cache[key] = out
+            cache[key] = (term, out)
             return out
 
         return tc(self)
@@ -407,8 +407,8 @@ class SymGenFun:
         def ev(term: SymGenFun):
             key = id(term)
             hit = cache.get(key)
-            if hit is not None:
-                return hit
+            if hit is not None and hit[0] is term:
+                return hit[1]
             k = term.kind
             if k == VARIABLE:
                 out = var_map(term.var)
@@ -430,7 +430,7 @@ class SymGenFun:
                 out = ev(term.a).maximum(ev(term.b))
             else:
                 raise AssertionError(k)
-            cache[key] = out
+            cache[key] = (term, out)
             return out
 
         return ev(self)
@@ -532,8 +532,8 @@ def to_computation(gf: GenFun, T) -> SymGenFun:
     def conv(node: GenFun) -> SymGenFun:
         key = id(node)
         hit = cache.get(key)
-        if hit is not None:
-            return hit
+        if hit is not None and hit[0] is node:
+            return hit[1]
         k = node.kind
         if k == "Var":
             out = SymGenFun.var_(T, node.var)
@@ -595,7 +595,7 @@ def to_computation(gf: GenFun, T) -> SymGenFun:
             )
         else:
             raise AssertionError(k)
-        cache[key] = out
+        cache[key] = (node, out)
         return out
 
     return conv(gf)

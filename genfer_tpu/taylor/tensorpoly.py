@@ -173,19 +173,37 @@ class TaylorPoly:
     def is_constant(self) -> bool:
         return _size(self.coeffs_shape()) == 1
 
-    def is_zero(self) -> bool:
-        return (
-            self.host_const is not None
-            and self.is_constant()
-            and self.host_const.is_zero()
+    def _materialize_const(self):
+        """For constant-shaped polys, fetch the value as a host scalar.
+
+        The reference's zero/one fast paths inspect values at runtime
+        (multivariate_taylor.rs:643-655); some are semantically load-bearing
+        (e.g. ``inf * 0 = 0`` via the zero fast path in nested-inference
+        normalization factors).  In eager mode we read the 0-d device value
+        once and cache it; under tracing (non-concrete backends) this
+        returns None and the general path is used."""
+        if self.host_const is not None:
+            return self.host_const
+        if not self.is_constant():
+            return None
+        if not getattr(self.backend, "concrete", True):
+            return None
+        self.host_const = self.backend.to_host(
+            self.backend.reshape(self.coeffs, ())
         )
+        return self.host_const
+
+    def is_zero(self) -> bool:
+        if not self.is_constant():
+            return False
+        c = self._materialize_const()
+        return c is not None and c.is_zero()
 
     def is_one(self) -> bool:
-        return (
-            self.host_const is not None
-            and self.is_constant()
-            and self.host_const.is_one()
-        )
+        if not self.is_constant():
+            return False
+        c = self._materialize_const()
+        return c is not None and c.is_one()
 
     def extract_constant(self):
         """Return the 0-d backend value if this poly is constant (shape-based,
