@@ -61,16 +61,35 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-probs", action="store_true")
     p.add_argument("-l", "--limit", type=int, default=None)
     p.add_argument("--json", type=Path, default=None)
-    p.add_argument("--backend", choices=["jax", "object"], default=None,
-                   help="force an array backend (default: jax for float "
-                   "modes, object for exact modes)")
+    p.add_argument("--backend", choices=["jax", "numpy", "object"], default=None,
+                   help="force an array backend (default: jax on an "
+                   "accelerator, numpy on CPU for float modes; object for "
+                   "exact modes)")
     return p
+
+
+def _accelerator_present() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 def select_mode(args):
     """Choose (host scalar type, array backend) mirroring the reference's
-    monomorphized dispatch (main.rs:108-143)."""
-    from .taylor.backend import JaxF64Backend, JaxIntervalBackend, ObjectBackend
+    monomorphized dispatch (main.rs:108-143).  Float modes run on the
+    JAX backends when an accelerator is present, and on the numpy
+    backends (identical IEEE-754 semantics, lower per-op overhead for
+    small coefficient tensors) otherwise."""
+    from .taylor.backend import (
+        JaxF64Backend,
+        JaxIntervalBackend,
+        NumpyF64Backend,
+        NumpyIntervalBackend,
+        ObjectBackend,
+    )
 
     if args.rational:
         elem = Rational
@@ -82,23 +101,57 @@ def select_mode(args):
     else:
         elem = F64
 
-    force_object = args.backend == "object"
+    choice = args.backend
+    if choice is None:
+        choice = "jax" if _accelerator_present() else "numpy"
     if args.bounds:
         T = Interval.over(elem)
-        if elem is F64 and not force_object:
+        if elem is F64 and choice == "jax":
             backend = JaxIntervalBackend()
+        elif elem is F64 and choice == "numpy":
+            backend = NumpyIntervalBackend()
         else:
             backend = ObjectBackend(T)
         return T, backend, elem
     T = elem
-    if elem is F64 and not force_object:
+    if elem is F64 and choice == "jax":
         backend = JaxF64Backend()
+    elif elem is F64 and choice == "numpy":
+        backend = NumpyF64Backend()
     else:
         backend = ObjectBackend(T)
     return T, backend, elem
 
 
 def main(argv=None):
+    """Run everything on a dedicated thread with a large stack: recursion
+    depth on deep GF DAGs (e.g. digitRecognition, hmm) exceeds default
+    stacks (the reference does the same, main.rs:96-106)."""
+    import threading
+
+    result: list = []
+
+    def work():
+        try:
+            _main_impl(argv)
+        except BaseException as e:  # propagate to the caller's thread
+            result.append(e)
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(1_000_000)
+    try:
+        threading.stack_size(512 * 1024 * 1024)
+        t = threading.Thread(target=work)
+        t.start()
+        t.join()
+    finally:
+        threading.stack_size(0)
+        sys.setrecursionlimit(old_limit)
+    if result:
+        raise result[0]
+
+
+def _main_impl(argv=None):
     args = build_arg_parser().parse_args(argv)
     _enable_x64()
     text = args.file_name.read_text(encoding="utf-8")

@@ -1,10 +1,19 @@
-from .backend import Backend, JaxF64Backend, JaxIntervalBackend, ObjectBackend
+from .backend import (
+    Backend,
+    JaxF64Backend,
+    JaxIntervalBackend,
+    NumpyF64Backend,
+    NumpyIntervalBackend,
+    ObjectBackend,
+)
 from .tensorpoly import INF_DEGREE, TaylorPoly
 
 __all__ = [
     "Backend",
     "JaxF64Backend",
     "JaxIntervalBackend",
+    "NumpyF64Backend",
+    "NumpyIntervalBackend",
     "ObjectBackend",
     "TaylorPoly",
     "INF_DEGREE",

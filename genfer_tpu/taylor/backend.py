@@ -896,3 +896,173 @@ class JaxIntervalBackend(Backend):
         lo = jnp.where(one, 0.0, lo)
         hi = jnp.where(one, 0.0, hi)
         return IvArr(jnp.stack([lo, hi]))
+
+
+# ===================================================================
+# NumPy backends: identical IEEE-f64 semantics on the host, used when no
+# accelerator is the target (per-op dispatch is ~50x cheaper than eager
+# jnp for the small coefficient tensors of typical programs).  The JAX
+# backends remain the accelerator path for large orders.
+# ===================================================================
+
+class NumpyF64Backend(JaxF64Backend):
+    def __init__(self):
+        import numpy as _np
+
+        _np.seterr(all="ignore")
+        self.jnp = _np
+        self.jax = None
+        self.dtype = _np.float64
+        self.concrete = True
+
+    def scalar(self, x):
+        v = x.v if isinstance(x, F64) else float(x)
+        return np.asarray(v, dtype=np.float64)
+
+    def to_host(self, arr0d):
+        return F64(float(arr0d))
+
+    def from_nested(self, nested):
+        def build(n):
+            if isinstance(n, (list, tuple)):
+                return [build(x) for x in n]
+            return n.v if isinstance(n, F64) else float(n)
+
+        return np.asarray(build(nested), dtype=np.float64)
+
+    # ---- fast kernels ----------------------------------------------
+    def conv_trunc(self, a, b, out_shape):
+        from scipy.signal import convolve
+
+        out_shape = _norm_shape(out_shape)
+        if a.size == 1 or b.size == 1:
+            prod = a * b
+        else:
+            prod = convolve(a, b, method="direct")
+        sl = tuple(slice(0, min(s, o)) for s, o in zip(prod.shape, out_shape))
+        prod = prod[sl]
+        if prod.shape != out_shape:
+            prod = np.pad(
+                prod, [(0, o - s) for s, o in zip(prod.shape, out_shape)]
+            )
+        return prod
+
+    def poly_div(self, xs, ys, out_shape):
+        out_shape = _norm_shape(out_shape)
+        eff_ys = _effective_axes(tuple(ys.shape))
+        if len(eff_ys) == 0:
+            return self.pad_to(xs, out_shape) / ys
+        if len(eff_ys) == 1:
+            from scipy.linalg import solve_triangular
+
+            axis = eff_ys[0]
+            n = out_shape[axis]
+            yv = np.moveaxis(ys, axis, 0).reshape(ys.shape[axis])
+            T = _np_toeplitz(yv, n, n)
+            xm = np.moveaxis(xs, axis, 0).reshape(xs.shape[axis], -1)
+            if xm.shape[0] < n:
+                xm = np.pad(xm, ((0, n - xm.shape[0]), (0, 0)))
+            else:
+                xm = xm[:n]
+            with np.errstate(all="ignore"):
+                if yv[0] == 0.0 or not np.isfinite(yv).all():
+                    sol = self._div_forward_sub(xm, yv, n)
+                else:
+                    sol = solve_triangular(T, xm, lower=True)
+            rest = [s for i, s in enumerate(out_shape) if i != axis]
+            return np.moveaxis(sol.reshape([n] + rest), 0, axis)
+        return self._div_generic(xs, ys, out_shape)
+
+    @staticmethod
+    def _div_forward_sub(xm, yv, n):
+        # IEEE-faithful forward substitution (handles zero/non-finite
+        # leading coefficients like the reference recurrence)
+        out = np.zeros_like(xm)
+        with np.errstate(all="ignore"):
+            for k in range(n):
+                lo = max(0, k + 1 - yv.shape[0])
+                acc = xm[k].copy()
+                for j in range(lo, k):
+                    acc -= out[j] * yv[k - j]
+                out[k] = acc / yv[0]
+        return out
+
+    def poly_exp(self, xs, out_shape):
+        out_shape = _norm_shape(out_shape)
+        eff = _effective_axes(tuple(xs.shape))
+        if len(eff) == 0:
+            return np.broadcast_to(np.exp(xs), out_shape).copy()
+        if len(eff) == 1:
+            axis = eff[0]
+            n = out_shape[axis]
+            x = np.moveaxis(xs, axis, 0).reshape(xs.shape[axis])
+            if x.shape[0] < n:
+                x = np.pad(x, (0, n - x.shape[0]))
+            else:
+                x = x[:n]
+            res = np.zeros(n)
+            with np.errstate(all="ignore"):
+                res[0] = np.exp(x[0])
+                j = np.arange(n)
+                jx = j * x
+                for k in range(1, n):
+                    res[k] = np.dot(jx[1 : k + 1], res[k - 1 :: -1][: k]) / k
+            return np.moveaxis(
+                res.reshape([n] + [1] * (len(out_shape) - 1)), 0, axis
+            )
+        return self._exp_generic(xs, out_shape)
+
+    def poly_log(self, xs, out_shape):
+        out_shape = _norm_shape(out_shape)
+        eff = _effective_axes(tuple(xs.shape))
+        if len(eff) == 0:
+            with np.errstate(all="ignore"):
+                return np.broadcast_to(np.log(xs), out_shape).copy()
+        if len(eff) == 1:
+            axis = eff[0]
+            n = out_shape[axis]
+            x = np.moveaxis(xs, axis, 0).reshape(xs.shape[axis])
+            if x.shape[0] < n:
+                x = np.pad(x, (0, n - x.shape[0]))
+            else:
+                x = x[:n]
+            res = np.zeros(n)
+            with np.errstate(all="ignore"):
+                res[0] = np.log(x[0]) if x[0] > 0 else (
+                    -np.inf if x[0] == 0 else np.nan
+                )
+                j = np.arange(n)
+                jres = np.zeros(n)
+                for k in range(1, n):
+                    s = np.dot(x[k - 1 : 0 : -1][: k - 1], jres[1:k])
+                    res[k] = (x[k] * k - s) / x[0] / k
+                    jres[k] = res[k] * k
+            return np.moveaxis(
+                res.reshape([n] + [1] * (len(out_shape) - 1)), 0, axis
+            )
+        return self._log_generic(xs, out_shape)
+
+
+def _np_toeplitz(a, out_len, b_len):
+    la = a.shape[0]
+    k = np.arange(out_len)[:, None]
+    j = np.arange(b_len)[None, :]
+    idx = k - j
+    valid = (idx >= 0) & (idx < la)
+    g = a[np.clip(idx, 0, la - 1)]
+    valid = valid.reshape(valid.shape + (1,) * (g.ndim - 2))
+    return np.where(valid, g, 0.0)
+
+
+class NumpyIntervalBackend(JaxIntervalBackend):
+    """Vectorized --bounds arithmetic on the host (numpy)."""
+
+    def __init__(self):
+        import numpy as _np
+
+        _np.seterr(all="ignore")
+        self.jax = None
+        self.jnp = _np
+        self.dtype = _np.float64
+        self.scalar_cls = Interval.over(F64)
+        self.concrete = True

@@ -870,6 +870,8 @@ def _sub_at_zero(b: Backend, arr, val0d):
 
 
 def _set_first(b: Backend, arr, val0d):
+    import numpy as _np
+
     from .backend import IvArr, JaxIntervalBackend, ObjectBackend
 
     shape = b.shape(arr)
@@ -879,8 +881,16 @@ def _set_first(b: Backend, arr, val0d):
         out[idx] = val0d[()] if hasattr(val0d, "shape") else val0d
         return out
     if isinstance(b, JaxIntervalBackend):
+        if isinstance(arr.data, _np.ndarray):
+            data = arr.data.copy()
+            data[(slice(None),) + idx] = val0d.data
+            return IvArr(data)
         data = arr.data.at[(slice(None),) + idx].set(val0d.data)
         return IvArr(data)
+    if isinstance(arr, _np.ndarray):
+        out = arr.copy()
+        out[idx] = val0d
+        return out
     return arr.at[idx].set(val0d)
 
 

@@ -13,6 +13,8 @@ from genfer_tpu.taylor import (
     INF_DEGREE,
     JaxF64Backend,
     JaxIntervalBackend,
+    NumpyF64Backend,
+    NumpyIntervalBackend,
     ObjectBackend,
     TaylorPoly,
 )
@@ -20,6 +22,8 @@ from genfer_tpu.taylor import (
 BACKENDS = {
     "jax_f64": lambda: JaxF64Backend(),
     "jax_interval": lambda: JaxIntervalBackend(),
+    "numpy_f64": lambda: NumpyF64Backend(),
+    "numpy_interval": lambda: NumpyIntervalBackend(),
     "object_f64": lambda: ObjectBackend(F64),
 }
 
