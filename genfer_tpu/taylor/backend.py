@@ -438,6 +438,24 @@ def _conv_impl(jnp, a, b, out_shape: Shape):
     return res.reshape(out_shape)
 
 
+def _antidiag_sum(jnp, P, out_len: int):
+    """Given P[..., i, j], return c[..., k] = sum_{i+j=k} P[..., i, j]
+    via a masked gather along j (bandwidth-bound, avoids the O(i*j*k)
+    one-hot contraction)."""
+    ni = P.shape[-2]
+    nj = P.shape[-1]
+    i = jnp.arange(ni)[:, None]
+    k = jnp.arange(out_len)[None, :]
+    idx = k - i  # [ni, out_len]
+    valid = (idx >= 0) & (idx < nj)
+    idxc = jnp.clip(idx, 0, nj - 1)
+    shape = (1,) * (P.ndim - 2) + (ni, out_len)
+    indices = jnp.broadcast_to(idxc.reshape(shape), P.shape[:-1] + (out_len,))
+    g = jnp.take_along_axis(P, indices, axis=-1)
+    g = jnp.where(valid.reshape(shape), g, 0.0)
+    return jnp.sum(g, axis=-2)
+
+
 def _conv_dense(jnp, a, b, out_shape: Shape):
     n = len(out_shape)
     if n == 0:
@@ -450,21 +468,22 @@ def _conv_dense(jnp, a, b, out_shape: Shape):
         c0, c1 = out_shape
         a0, a1 = a.shape
         b0, b1 = b.shape
-        # step 1: conv along axis 0 -> H[k0, i1, j1]
-        Ta = _toeplitz(jnp, a, c0, b0)  # [c0, b0, a1] via gather on axis 0
-        # _toeplitz gathers a[k-j] producing [c0, b0] leading dims, keeping
-        # a's trailing axes:
+        # step 1: conv along axis 0 -> H[k0, i1, j1] (MXU matmul)
+        Ta = _toeplitz(jnp, a, c0, b0)  # [c0, b0, a1]
         H = jnp.einsum("kji,jl->kil", Ta, b)  # [c0, a1, b1]
-        E1 = _onehot_add(jnp, a1, b1, c1, a.dtype)
-        return jnp.einsum("kij,ijl->kl", H, E1)
-    # n >= 3: pair the leading axis, recurse on the rest
+        # step 2: conv along axis 1 via anti-diagonal gather-reduce
+        return _antidiag_sum(jnp, H, c1)
+    # n >= 3: pair the leading axis, recurse on the rest, then reduce
+    # anti-diagonals of the (i0, j0) pair grid
     import jax
 
     rest = out_shape[1:]
     inner = lambda ai, bj: _conv_dense(jnp, ai, bj, rest)
     P = jax.vmap(lambda ai: jax.vmap(lambda bj: inner(ai, bj))(b))(a)
-    E0 = _onehot_add(jnp, a.shape[0], b.shape[0], out_shape[0], a.dtype)
-    return jnp.einsum("ij...,ijk->k...", P, E0)
+    # P[i0, j0, rest...] -> c[k0, rest...]
+    P = jnp.moveaxis(jnp.moveaxis(P, 0, -1), 0, -1)  # [rest..., i0, j0]
+    c = _antidiag_sum(jnp, P, out_shape[0])  # [rest..., k0]
+    return jnp.moveaxis(c, -1, 0)
 
 
 @functools.lru_cache(maxsize=None)
