@@ -61,7 +61,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-probs", action="store_true")
     p.add_argument("-l", "--limit", type=int, default=None)
     p.add_argument("--json", type=Path, default=None)
-    p.add_argument("--backend", choices=["jax", "numpy", "object"], default=None,
+    p.add_argument("--backend",
+                   choices=["jax", "numpy", "hybrid", "object"], default=None,
                    help="force an array backend (default: jax on an "
                    "accelerator, numpy on CPU for float modes; object for "
                    "exact modes)")
@@ -84,6 +85,7 @@ def select_mode(args):
     backends (identical IEEE-754 semantics, lower per-op overhead for
     small coefficient tensors) otherwise."""
     from .taylor.backend import (
+        HybridBackend,
         JaxF64Backend,
         JaxIntervalBackend,
         NumpyF64Backend,
@@ -103,12 +105,12 @@ def select_mode(args):
 
     choice = args.backend
     if choice is None:
-        choice = "jax" if _accelerator_present() else "numpy"
+        choice = "hybrid" if _accelerator_present() else "numpy"
     if args.bounds:
         T = Interval.over(elem)
         if elem is F64 and choice == "jax":
             backend = JaxIntervalBackend()
-        elif elem is F64 and choice == "numpy":
+        elif elem is F64 and choice in ("numpy", "hybrid"):
             backend = NumpyIntervalBackend()
         else:
             backend = ObjectBackend(T)
@@ -116,6 +118,8 @@ def select_mode(args):
     T = elem
     if elem is F64 and choice == "jax":
         backend = JaxF64Backend()
+    elif elem is F64 and choice == "hybrid":
+        backend = HybridBackend()
     elif elem is F64 and choice == "numpy":
         backend = NumpyF64Backend()
     else:

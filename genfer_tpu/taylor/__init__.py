@@ -1,5 +1,6 @@
 from .backend import (
     Backend,
+    HybridBackend,
     JaxF64Backend,
     JaxIntervalBackend,
     NumpyF64Backend,
@@ -10,6 +11,7 @@ from .tensorpoly import INF_DEGREE, TaylorPoly
 
 __all__ = [
     "Backend",
+    "HybridBackend",
     "JaxF64Backend",
     "JaxIntervalBackend",
     "NumpyF64Backend",

@@ -1085,3 +1085,94 @@ class NumpyIntervalBackend(JaxIntervalBackend):
         self.dtype = _np.float64
         self.scalar_cls = Interval.over(F64)
         self.concrete = True
+
+
+class HybridBackend(NumpyF64Backend):
+    """Host-orchestrated backend with accelerator offload.
+
+    The GF evaluator walks a host-side DAG and issues tensor ops; most
+    coefficient tensors in real programs are small (where per-op
+    accelerator dispatch latency dominates), but the hot truncated
+    Cauchy products and power-series recurrences at high order are
+    exactly the ops worth running on the MXU.  This backend keeps all
+    state in host numpy and offloads an op to the JAX device when its
+    arithmetic volume exceeds a threshold — transfer cost is O(order^n)
+    while the offloaded compute is O(order^{n+1}).
+    """
+
+    #: minimum number of multiply-adds before a conv is offloaded
+    CONV_OFFLOAD_FLOPS = 2_000_000
+    #: minimum length before a 1-axis recurrence is offloaded
+    SOLVE_OFFLOAD_LEN = 192
+
+    def __init__(self):
+        super().__init__()
+        import jax
+
+        self._jax = jax
+        self._jnp = __import__("jax.numpy", fromlist=["numpy"])
+
+    def _conv_flops(self, a_shape, b_shape, out_shape):
+        total = 1
+        for s_a, s_b, o in zip(a_shape, b_shape, out_shape):
+            pairs = 0
+            for k in range(o):
+                pairs += max(0, min(k + 1, s_a) - max(0, k + 1 - s_b))
+            total *= max(pairs, 1)
+        return total
+
+    def conv_trunc(self, a, b, out_shape):
+        out_shape = _norm_shape(out_shape)
+        if (
+            self._conv_flops(a.shape, b.shape, out_shape)
+            >= self.CONV_OFFLOAD_FLOPS
+        ):
+            jnp = self._jnp
+            out = _conv_jit(tuple(a.shape), tuple(b.shape), out_shape)(
+                jnp.asarray(a), jnp.asarray(b)
+            )
+            return np.asarray(out)
+        return super().conv_trunc(a, b, out_shape)
+
+    def poly_div(self, xs, ys, out_shape):
+        out_shape = _norm_shape(out_shape)
+        eff_ys = _effective_axes(tuple(ys.shape))
+        if (
+            len(eff_ys) == 1
+            and out_shape[eff_ys[0]] >= self.SOLVE_OFFLOAD_LEN
+            and np.isfinite(ys).all()
+            and ys.reshape(-1)[0] != 0.0
+        ):
+            jnp = self._jnp
+            out = _div1d_jit(
+                tuple(xs.shape), tuple(ys.shape), out_shape, eff_ys[0]
+            )(jnp.asarray(xs), jnp.asarray(ys))
+            return np.asarray(out)
+        return super().poly_div(xs, ys, out_shape)
+
+    def poly_exp(self, xs, out_shape):
+        out_shape = _norm_shape(out_shape)
+        eff = _effective_axes(tuple(xs.shape))
+        if len(eff) == 1 and out_shape[eff[0]] >= self.SOLVE_OFFLOAD_LEN:
+            jnp = self._jnp
+            out = _exp1d_jit(tuple(xs.shape), out_shape, eff[0])(
+                jnp.asarray(xs)
+            )
+            return np.asarray(out)
+        return super().poly_exp(xs, out_shape)
+
+    def poly_log(self, xs, out_shape):
+        out_shape = _norm_shape(out_shape)
+        eff = _effective_axes(tuple(xs.shape))
+        if (
+            len(eff) == 1
+            and out_shape[eff[0]] >= self.SOLVE_OFFLOAD_LEN
+            and np.isfinite(xs).all()
+            and xs.reshape(-1)[0] > 0.0
+        ):
+            jnp = self._jnp
+            out = _log1d_jit(tuple(xs.shape), out_shape, eff[0])(
+                jnp.asarray(xs)
+            )
+            return np.asarray(out)
+        return super().poly_log(xs, out_shape)
