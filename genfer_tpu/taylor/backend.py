@@ -924,6 +924,19 @@ class JaxIntervalBackend(Backend):
 # backends remain the accelerator path for large orders.
 # ===================================================================
 
+def _load_seriesops():
+    """Native C++ series kernels (built by native/build.py); optional."""
+    try:
+        from .. import _seriesops
+
+        return _seriesops
+    except ImportError:
+        return None
+
+
+_SERIESOPS = _load_seriesops()
+
+
 class NumpyF64Backend(JaxF64Backend):
     def __init__(self):
         import numpy as _np
@@ -933,6 +946,7 @@ class NumpyF64Backend(JaxF64Backend):
         self.jax = None
         self.dtype = _np.float64
         self.concrete = True
+        self.native = _SERIESOPS
 
     def scalar(self, x):
         v = x.v if isinstance(x, F64) else float(x)
@@ -951,13 +965,29 @@ class NumpyF64Backend(JaxF64Backend):
 
     # ---- fast kernels ----------------------------------------------
     def conv_trunc(self, a, b, out_shape):
-        from scipy.signal import convolve
-
         out_shape = _norm_shape(out_shape)
         if a.size == 1 or b.size == 1:
             prod = a * b
-        else:
-            prod = convolve(a, b, method="direct")
+            sl = tuple(
+                slice(0, min(s, o)) for s, o in zip(prod.shape, out_shape)
+            )
+            prod = prod[sl]
+            if prod.shape != out_shape:
+                prod = np.pad(
+                    prod, [(0, o - s) for s, o in zip(prod.shape, out_shape)]
+                )
+            return prod
+        if self.native is not None:
+            out = np.zeros(out_shape)
+            self.native.conv_trunc(
+                np.ascontiguousarray(a), tuple(a.shape),
+                np.ascontiguousarray(b), tuple(b.shape),
+                out, out_shape,
+            )
+            return out
+        from scipy.signal import convolve
+
+        prod = convolve(a, b, method="direct")
         sl = tuple(slice(0, min(s, o)) for s, o in zip(prod.shape, out_shape))
         prod = prod[sl]
         if prod.shape != out_shape:
@@ -972,22 +1002,31 @@ class NumpyF64Backend(JaxF64Backend):
         if len(eff_ys) == 0:
             return self.pad_to(xs, out_shape) / ys
         if len(eff_ys) == 1:
-            from scipy.linalg import solve_triangular
-
             axis = eff_ys[0]
             n = out_shape[axis]
-            yv = np.moveaxis(ys, axis, 0).reshape(ys.shape[axis])
-            T = _np_toeplitz(yv, n, n)
+            yv = np.ascontiguousarray(
+                np.moveaxis(ys, axis, 0).reshape(ys.shape[axis])
+            )
             xm = np.moveaxis(xs, axis, 0).reshape(xs.shape[axis], -1)
             if xm.shape[0] < n:
                 xm = np.pad(xm, ((0, n - xm.shape[0]), (0, 0)))
             else:
                 xm = xm[:n]
-            with np.errstate(all="ignore"):
-                if yv[0] == 0.0 or not np.isfinite(yv).all():
-                    sol = self._div_forward_sub(xm, yv, n)
-                else:
-                    sol = solve_triangular(T, xm, lower=True)
+            if self.native is not None and np.isfinite(xm).all() and np.isfinite(yv).all():
+                xm = np.ascontiguousarray(xm)
+                sol = np.zeros_like(xm)
+                self.native.div_1d(
+                    xm, xm.shape[0], yv, yv.shape[0], sol, n, xm.shape[1]
+                )
+            else:
+                with np.errstate(all="ignore"):
+                    if yv[0] == 0.0 or not np.isfinite(yv).all():
+                        sol = self._div_forward_sub(xm, yv, n)
+                    else:
+                        from scipy.linalg import solve_triangular
+
+                        T = _np_toeplitz(yv, n, n)
+                        sol = solve_triangular(T, xm, lower=True)
             rest = [s for i, s in enumerate(out_shape) if i != axis]
             return np.moveaxis(sol.reshape([n] + rest), 0, axis)
         return self._div_generic(xs, ys, out_shape)
@@ -1020,12 +1059,17 @@ class NumpyF64Backend(JaxF64Backend):
             else:
                 x = x[:n]
             res = np.zeros(n)
-            with np.errstate(all="ignore"):
-                res[0] = np.exp(x[0])
-                j = np.arange(n)
-                jx = j * x
-                for k in range(1, n):
-                    res[k] = np.dot(jx[1 : k + 1], res[k - 1 :: -1][: k]) / k
+            if self.native is not None and np.isfinite(x).all():
+                self.native.exp_1d(np.ascontiguousarray(x), x.shape[0], res, n)
+            else:
+                with np.errstate(all="ignore"):
+                    res[0] = np.exp(x[0])
+                    j = np.arange(n)
+                    jx = j * x
+                    for k in range(1, n):
+                        res[k] = (
+                            np.dot(jx[1 : k + 1], res[k - 1 :: -1][: k]) / k
+                        )
             return np.moveaxis(
                 res.reshape([n] + [1] * (len(out_shape) - 1)), 0, axis
             )
@@ -1046,16 +1090,23 @@ class NumpyF64Backend(JaxF64Backend):
             else:
                 x = x[:n]
             res = np.zeros(n)
-            with np.errstate(all="ignore"):
-                res[0] = np.log(x[0]) if x[0] > 0 else (
-                    -np.inf if x[0] == 0 else np.nan
-                )
-                j = np.arange(n)
-                jres = np.zeros(n)
-                for k in range(1, n):
-                    s = np.dot(x[k - 1 : 0 : -1][: k - 1], jres[1:k])
-                    res[k] = (x[k] * k - s) / x[0] / k
-                    jres[k] = res[k] * k
+            if (
+                self.native is not None
+                and np.isfinite(x).all()
+                and x[0] > 0.0
+            ):
+                self.native.log_1d(np.ascontiguousarray(x), x.shape[0], res, n)
+            else:
+                with np.errstate(all="ignore"):
+                    res[0] = np.log(x[0]) if x[0] > 0 else (
+                        -np.inf if x[0] == 0 else np.nan
+                    )
+                    j = np.arange(n)
+                    jres = np.zeros(n)
+                    for k in range(1, n):
+                        s = np.dot(x[k - 1 : 0 : -1][: k - 1], jres[1:k])
+                        res[k] = (x[k] * k - s) / x[0] / k
+                        jres[k] = res[k] * k
             return np.moveaxis(
                 res.reshape([n] + [1] * (len(out_shape) - 1)), 0, axis
             )

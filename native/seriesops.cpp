@@ -1,0 +1,282 @@
+// Native series-arithmetic kernels for the host runtime.
+//
+// The reference implements its entire runtime natively (Rust); in the
+// TPU-native design the accelerator path is JAX/XLA, and this extension is
+// the native host path used by the numpy/hybrid backends for the
+// power-series kernels at small-to-medium orders where Python/numpy
+// dispatch overhead dominates:
+//
+//   * conv_trunc_f64 - truncated n-D Cauchy product
+//     (reference: src/multivariate_taylor.rs:972-1012)
+//   * div_1d_f64     - power-series long division (forward substitution,
+//     reference: multivariate_taylor.rs:1162-1192)
+//   * exp_1d_f64     - exp ODE recurrence (multivariate_taylor.rs:1270-1283)
+//   * log_1d_f64     - log recurrence (multivariate_taylor.rs:1319-1333)
+//
+// Exposed through the buffer protocol (no numpy C API dependency): inputs
+// are C-contiguous float64 buffers plus shape tuples.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct BufView {
+    Py_buffer view{};
+    bool ok = false;
+    ~BufView() {
+        if (ok) PyBuffer_Release(&view);
+    }
+    const double* data() const { return static_cast<const double*>(view.buf); }
+    double* mut_data() const { return static_cast<double*>(view.buf); }
+    Py_ssize_t len() const { return view.len / (Py_ssize_t)sizeof(double); }
+};
+
+bool get_f64_buffer(PyObject* obj, BufView* out, bool writable = false) {
+    int flags = PyBUF_C_CONTIGUOUS | PyBUF_FORMAT;
+    if (writable) flags |= PyBUF_WRITABLE;
+    if (PyObject_GetBuffer(obj, &out->view, flags) != 0) return false;
+    out->ok = true;
+    if (out->view.itemsize != sizeof(double) ||
+        (out->view.format && strcmp(out->view.format, "d") != 0)) {
+        PyErr_SetString(PyExc_TypeError, "expected a float64 buffer");
+        return false;
+    }
+    return true;
+}
+
+bool parse_shape(PyObject* tup, std::vector<int64_t>* out) {
+    if (!PyTuple_Check(tup)) {
+        PyErr_SetString(PyExc_TypeError, "shape must be a tuple");
+        return false;
+    }
+    Py_ssize_t n = PyTuple_GET_SIZE(tup);
+    out->resize(n);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        long long v = PyLong_AsLongLong(PyTuple_GET_ITEM(tup, i));
+        if (v < 0 && PyErr_Occurred()) return false;
+        (*out)[i] = v;
+    }
+    return true;
+}
+
+std::vector<int64_t> strides_of(const std::vector<int64_t>& shape) {
+    std::vector<int64_t> s(shape.size());
+    int64_t acc = 1;
+    for (Py_ssize_t i = (Py_ssize_t)shape.size() - 1; i >= 0; i--) {
+        s[i] = acc;
+        acc *= shape[i];
+    }
+    return s;
+}
+
+int64_t numel(const std::vector<int64_t>& shape) {
+    int64_t n = 1;
+    for (int64_t s : shape) n *= s;
+    return n;
+}
+
+// Truncated n-D Cauchy product: iterate output multi-indices; inner loop
+// over the first axis uses the 1-D band structure, recursion handled by
+// an explicit odometer over the remaining axes.
+void conv_nd(const double* a, const std::vector<int64_t>& sa,
+             const double* b, const std::vector<int64_t>& sb,
+             double* c, const std::vector<int64_t>& sc) {
+    const size_t nd = sc.size();
+    const auto stra = strides_of(sa);
+    const auto strb = strides_of(sb);
+    const auto strc = strides_of(sc);
+    std::vector<int64_t> k(nd, 0);  // output index
+    const int64_t total = numel(sc);
+    std::vector<int64_t> i(nd, 0);  // a-index
+    for (int64_t flat = 0; flat < total; flat++) {
+        double acc = 0.0;
+        // enumerate all a-indices i with i <= k (componentwise) and
+        // k - i within b's shape
+        std::vector<int64_t> lo(nd), hi(nd);
+        bool empty = false;
+        for (size_t d = 0; d < nd; d++) {
+            lo[d] = k[d] - (sb[d] - 1) > 0 ? k[d] - (sb[d] - 1) : 0;
+            hi[d] = k[d] < sa[d] - 1 ? k[d] : sa[d] - 1;
+            if (lo[d] > hi[d]) {
+                empty = true;
+                break;
+            }
+            i[d] = lo[d];
+        }
+        if (!empty) {
+            while (true) {
+                int64_t oa = 0, ob = 0;
+                for (size_t d = 0; d < nd; d++) {
+                    oa += i[d] * stra[d];
+                    ob += (k[d] - i[d]) * strb[d];
+                }
+                acc += a[oa] * b[ob];
+                // odometer over i within [lo, hi]
+                size_t d = nd;
+                while (d > 0) {
+                    d--;
+                    if (i[d] < hi[d]) {
+                        i[d]++;
+                        for (size_t e = d + 1; e < nd; e++) i[e] = lo[e];
+                        break;
+                    }
+                    if (d == 0) goto done;
+                }
+                if (nd == 0) break;
+            }
+        }
+    done:
+        int64_t oc = 0;
+        for (size_t d = 0; d < nd; d++) oc += k[d] * strc[d];
+        c[oc] = acc;
+        // advance output odometer
+        size_t d = nd;
+        while (d > 0) {
+            d--;
+            if (++k[d] < sc[d]) break;
+            k[d] = 0;
+        }
+    }
+}
+
+// Specialized fast 1-D truncated convolution.
+void conv_1d(const double* a, int64_t la, const double* b, int64_t lb,
+             double* c, int64_t lc) {
+    for (int64_t k = 0; k < lc; k++) {
+        int64_t lo = k - (lb - 1) > 0 ? k - (lb - 1) : 0;
+        int64_t hi = k < la - 1 ? k : la - 1;
+        double acc = 0.0;
+        for (int64_t j = lo; j <= hi; j++) acc += a[j] * b[k - j];
+        c[k] = acc;
+    }
+}
+
+PyObject* py_conv_trunc(PyObject*, PyObject* args) {
+    PyObject *a_obj, *b_obj, *out_obj, *sa_t, *sb_t, *sc_t;
+    if (!PyArg_ParseTuple(args, "OOOOOO", &a_obj, &sa_t, &b_obj, &sb_t,
+                          &out_obj, &sc_t))
+        return nullptr;
+    BufView a, b, c;
+    if (!get_f64_buffer(a_obj, &a) || !get_f64_buffer(b_obj, &b) ||
+        !get_f64_buffer(out_obj, &c, true))
+        return nullptr;
+    std::vector<int64_t> sa, sb, sc;
+    if (!parse_shape(sa_t, &sa) || !parse_shape(sb_t, &sb) ||
+        !parse_shape(sc_t, &sc))
+        return nullptr;
+    if (sa.size() != sb.size() || sa.size() != sc.size()) {
+        PyErr_SetString(PyExc_ValueError, "rank mismatch");
+        return nullptr;
+    }
+    Py_BEGIN_ALLOW_THREADS;
+    if (sc.size() == 1) {
+        conv_1d(a.data(), sa[0], b.data(), sb[0], c.mut_data(), sc[0]);
+    } else {
+        conv_nd(a.data(), sa, b.data(), sb, c.mut_data(), sc);
+    }
+    Py_END_ALLOW_THREADS;
+    Py_RETURN_NONE;
+}
+
+// Power-series division along one axis with trailing lanes R:
+// out[k, r] = (x[k, r] - sum_{j<k} out[j, r] * y[k-j]) / y[0]
+PyObject* py_div_1d(PyObject*, PyObject* args) {
+    PyObject *x_obj, *y_obj, *out_obj;
+    Py_ssize_t n, R, ly, lx;
+    if (!PyArg_ParseTuple(args, "OnOnOnn", &x_obj, &lx, &y_obj, &ly, &out_obj,
+                          &n, &R))
+        return nullptr;
+    BufView x, y, o;
+    if (!get_f64_buffer(x_obj, &x) || !get_f64_buffer(y_obj, &y) ||
+        !get_f64_buffer(out_obj, &o, true))
+        return nullptr;
+    const double* xs = x.data();
+    const double* ys = y.data();
+    double* out = o.mut_data();
+    Py_BEGIN_ALLOW_THREADS;
+    for (Py_ssize_t k = 0; k < n; k++) {
+        Py_ssize_t lo = k + 1 - ly > 0 ? k + 1 - ly : 0;
+        for (Py_ssize_t r = 0; r < R; r++) {
+            double acc = k < lx ? xs[k * R + r] : 0.0;
+            for (Py_ssize_t j = lo; j < k; j++)
+                acc -= out[j * R + r] * ys[k - j];
+            out[k * R + r] = acc / ys[0];
+        }
+    }
+    Py_END_ALLOW_THREADS;
+    Py_RETURN_NONE;
+}
+
+// exp recurrence: out[0] = exp(x[0]); out[k] = (sum_{j>=1} j x[j] out[k-j])/k
+PyObject* py_exp_1d(PyObject*, PyObject* args) {
+    PyObject *x_obj, *out_obj;
+    Py_ssize_t n, lx;
+    if (!PyArg_ParseTuple(args, "OnOn", &x_obj, &lx, &out_obj, &n))
+        return nullptr;
+    BufView x, o;
+    if (!get_f64_buffer(x_obj, &x) || !get_f64_buffer(out_obj, &o, true))
+        return nullptr;
+    const double* xs = x.data();
+    double* out = o.mut_data();
+    Py_BEGIN_ALLOW_THREADS;
+    out[0] = std::exp(xs[0]);
+    for (Py_ssize_t k = 1; k < n; k++) {
+        double acc = 0.0;
+        Py_ssize_t hi = lx < k + 1 ? lx : k + 1;
+        for (Py_ssize_t j = 1; j < hi; j++)
+            acc += (double)j * xs[j] * out[k - j];
+        out[k] = acc / (double)k;
+    }
+    Py_END_ALLOW_THREADS;
+    Py_RETURN_NONE;
+}
+
+// log recurrence: out[0] = log(x[0]);
+// out[k] = (k*x[k] - sum_{1<=j<k} x[k-j]*j*out[j]) / x[0] / k
+PyObject* py_log_1d(PyObject*, PyObject* args) {
+    PyObject *x_obj, *out_obj;
+    Py_ssize_t n, lx;
+    if (!PyArg_ParseTuple(args, "OnOn", &x_obj, &lx, &out_obj, &n))
+        return nullptr;
+    BufView x, o;
+    if (!get_f64_buffer(x_obj, &x) || !get_f64_buffer(out_obj, &o, true))
+        return nullptr;
+    const double* xs = x.data();
+    double* out = o.mut_data();
+    Py_BEGIN_ALLOW_THREADS;
+    out[0] = xs[0] > 0.0 ? std::log(xs[0])
+                         : (xs[0] == 0.0 ? -HUGE_VAL : NAN);
+    for (Py_ssize_t k = 1; k < n; k++) {
+        double acc = 0.0;
+        Py_ssize_t lo = k + 1 - lx > 0 ? k + 1 - lx : 1;
+        for (Py_ssize_t j = lo; j < k; j++)
+            acc += ((k - j) < lx ? xs[k - j] : 0.0) * (double)j * out[j];
+        double xk = k < lx ? xs[k] : 0.0;
+        out[k] = (xk * (double)k - acc) / xs[0] / (double)k;
+    }
+    Py_END_ALLOW_THREADS;
+    Py_RETURN_NONE;
+}
+
+PyMethodDef methods[] = {
+    {"conv_trunc", py_conv_trunc, METH_VARARGS,
+     "Truncated n-D Cauchy product (f64, C-contiguous buffers)."},
+    {"div_1d", py_div_1d, METH_VARARGS,
+     "Power-series division along the leading axis with trailing lanes."},
+    {"exp_1d", py_exp_1d, METH_VARARGS, "Power-series exp recurrence."},
+    {"log_1d", py_log_1d, METH_VARARGS, "Power-series log recurrence."},
+    {nullptr, nullptr, 0, nullptr}};
+
+PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_seriesops",
+                         "Native power-series kernels for genfer_tpu.",
+                         -1, methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__seriesops(void) { return PyModule_Create(&moduledef); }
