@@ -61,6 +61,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-probs", action="store_true")
     p.add_argument("-l", "--limit", type=int, default=None)
     p.add_argument("--json", type=Path, default=None)
+    p.add_argument("--profile", type=Path, default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the inference to DIR")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax NaN debugging (jax_debug_nans)")
     p.add_argument("--backend",
                    choices=["jax", "numpy", "hybrid", "object"], default=None,
                    help="force an array backend (default: jax on an "
@@ -175,6 +179,22 @@ def _enable_x64():
 
 
 def run(program, args):
+    if args.debug_nans:
+        try:
+            import jax
+
+            jax.config.update("jax_debug_nans", True)
+        except Exception:
+            pass
+    if args.profile is not None:
+        import jax
+
+        with jax.profiler.trace(str(args.profile)):
+            return _run_impl(program, args)
+    return _run_impl(program, args)
+
+
+def _run_impl(program, args):
     T, backend, elem = select_mode(args)
     IV = Interval.over(elem) if not args.bounds else T
     inference_start = time.perf_counter()
