@@ -17,7 +17,8 @@ def test_stats_output():
     with redirect_stdout(buf):
         main([str(REFERENCE / "example.sgcl")])
     out = buf.getvalue()
-    assert "2 variables, 3 statements (including nesting)" in out
+    # observe desugars to if/fail, so 4 statements including nesting
+    assert "2 variables, 4 statements (including nesting)" in out
     assert "Contains observations: true" in out
     assert "Support size: infinite" in out
 
