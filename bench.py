@@ -75,8 +75,11 @@ def bench_kernel(order=256, ndim=1, dtype="float64", iters=20):
 
 
 def bench_suite():
-    """End-to-end wall-clock on the neurips2023 exact suite (informational,
-    printed to stderr)."""
+    """End-to-end wall-clock on the neurips2023 exact suite, mirroring the
+    reference protocol (reference bench.py:108-134): FP mode on
+    ``<name>.sgcl``, rational mode on ``<name>.rational.sgcl`` when present
+    (else the same file), correctness checked against ``<name>.expected``
+    (output must contain one of the expected strings).  Results to stderr."""
     import io
     import os
     from contextlib import redirect_stdout
@@ -88,20 +91,49 @@ def bench_suite():
         return None
     from genfer_tpu.cli import main as cli_main
 
+    def run_one(path, flags):
+        t0 = time.perf_counter()
+        buf = io.StringIO()
+        try:
+            with redirect_stdout(buf):
+                cli_main([str(path), "--no-timing"] + flags)
+        except Exception as e:
+            return None, f"crashed: {e}"
+        dt = time.perf_counter() - t0
+        expected_file = path.parent / (path.parent.name + ".expected")
+        if expected_file.exists():
+            expected = [
+                e for e in expected_file.read_text().splitlines() if e.strip()
+            ]
+            out = buf.getvalue()
+            if not any(e in out for e in expected):
+                return dt, "wrong result"
+        return dt, None
+
     total = 0.0
     n = 0
-    for sgcl in sorted(suite.rglob("*.sgcl")):
-        t0 = time.perf_counter()
-        try:
-            with redirect_stdout(io.StringIO()):
-                cli_main([str(sgcl), "--no-timing"])
-            dt = time.perf_counter() - t0
+    for model_dir in sorted(p for p in suite.iterdir() if p.is_dir()):
+        name = model_dir.name
+        fp = model_dir / f"{name}.sgcl"
+        if not fp.exists():
+            continue
+        dt, err = run_one(fp, [])
+        msg = f"{dt:.3f}s" if dt is not None else "-"
+        if err:
+            msg += f" ({err})"
+        else:
             total += dt
             n += 1
-            print(f"  {sgcl.stem}: {dt:.3f}s", file=sys.stderr)
-        except Exception as e:  # keep the bench robust
-            print(f"  {sgcl.stem}: FAILED ({e})", file=sys.stderr)
-    print(f"suite total ({n} models): {total:.3f}s", file=sys.stderr)
+        print(f"  {name} [fp]: {msg}", file=sys.stderr)
+        rational = model_dir / f"{name}.rational.sgcl"
+        if not rational.exists():
+            rational = fp
+        dt, err = run_one(rational, ["--rational", "--no-probs"])
+        msg = f"{dt:.3f}s" if dt is not None else "-"
+        if err:
+            msg += f" ({err})"
+        print(f"  {name} [rational]: {msg}", file=sys.stderr)
+    print(f"suite total ({n} fp models passing): {total:.3f}s", file=sys.stderr)
     return total
 
 

@@ -110,6 +110,20 @@ class GfTransformer:
             new_gf = gf_in_set(event.var, list(event.set), gf)
         elif isinstance(event, ast.VarComparison):
             v1, comp, v2 = event.v1, event.comp, event.v2
+            if var_info.is_empty():
+                # unreachable program point: no mass to condition
+                # (the reference panics here; an empty support means the
+                # surrounding branch is dead, so zero is the exact answer)
+                then_info, else_info = self.support.transform_event(
+                    event, var_info
+                )
+                zero = GenFun.zero(T)
+                return (
+                    GfTranslation(then_info, zero, rest, rest_info.clone()),
+                    GfTranslation(
+                        else_info, init.gf - zero, rest, rest_info.clone()
+                    ),
+                )
             r1 = var_info[v1].finite_nonempty_range()
             r2 = var_info[v2].finite_nonempty_range()
             if r1 is None and r2 is None:
