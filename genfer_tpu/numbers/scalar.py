@@ -364,9 +364,12 @@ class BigFloat(_NumberBase):
         )
 
     def __lt__(self, other):
-        # reference: big_float.rs:127-138
+        # reference: big_float.rs:127-138, extended to order non-finite
+        # factors correctly (the exponent-first comparison misorders
+        # infinities, which arise in interval division bounds)
+        if not (math.isfinite(self.factor) and math.isfinite(other.factor)):
+            return self.to_f64() < other.to_f64()
         if self.exponent == other.exponent or self.is_zero() or other.is_zero():
-            # compare magnitudes via factors (zero has factor 0.0)
             if self.exponent == other.exponent:
                 return self.factor < other.factor
             return self.to_f64() < other.to_f64()
