@@ -66,7 +66,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax NaN debugging (jax_debug_nans)")
     p.add_argument("--backend",
-                   choices=["jax", "numpy", "hybrid", "object"], default=None,
+                   choices=["jax", "numpy", "hybrid", "sharded", "object"], default=None,
                    help="force an array backend (default: jax on an "
                    "accelerator, numpy on CPU for float modes; object for "
                    "exact modes)")
@@ -120,7 +120,11 @@ def select_mode(args):
             backend = ObjectBackend(T)
         return T, backend, elem
     T = elem
-    if elem is F64 and choice == "jax":
+    if elem is F64 and choice == "sharded":
+        from .parallel.mesh import ShardedF64Backend
+
+        backend = ShardedF64Backend()
+    elif elem is F64 and choice == "jax":
         backend = JaxF64Backend()
     elif elem is F64 and choice == "hybrid":
         backend = HybridBackend()

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+from ..taylor.tensorpoly import CHECK_INVARIANTS as _CHECK
 from ..taylor.tensorpoly import INF_DEGREE, TaylorPoly
 
 # node kinds
@@ -395,7 +396,7 @@ class GenFun:
         if hit is not None and hit[0] is self:
             return hit[1]
         result = self._eval(backend, inputs, degree_p1, cache)
-        if __debug__:
+        if _CHECK:
             assert all(
                 d == degree_p1 for d in result.degrees_p1
             ), f"unexpected eval degrees {result.degrees_p1} for target {degree_p1}"

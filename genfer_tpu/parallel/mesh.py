@@ -171,3 +171,61 @@ def sharded_inference_step(mesh, batch_a, batch_b, out_shape):
         check_rep=False,
     )
     return fn(batch_a, batch_b)
+
+
+class ShardedF64Backend:
+    """JAX f64 backend whose large Cauchy products run sharded over a
+    device mesh (output-row blocks on the ``tp`` axis).  Small ops stay
+    single-device; the crossover is sized so the per-device work still
+    saturates the MXU.
+
+    Construct with ``ShardedF64Backend(make_mesh())`` or let the CLI build
+    it via ``--backend sharded``."""
+
+    def __new__(cls, mesh=None, min_rows_per_device: int = 64):
+        from ..taylor.backend import JaxF64Backend
+
+        class _Impl(JaxF64Backend):
+            def __init__(self, mesh, min_rows):
+                super().__init__()
+                self.mesh = mesh or make_mesh()
+                self.min_rows = min_rows
+
+            def conv_trunc(self, a, b, out_shape):
+                out_shape = tuple(int(s) for s in out_shape)
+                tp = self.mesh.shape["tp"]
+                eff = [i for i, s in enumerate(out_shape) if s != 1]
+                if (
+                    tp > 1
+                    and len(eff) == 2
+                    and eff[0] == 0
+                    and out_shape[0] >= tp * self.min_rows
+                ):
+                    import jax.numpy as jnp
+
+                    rows = ((out_shape[0] + tp - 1) // tp) * tp
+                    a2 = a.reshape(a.shape[0], -1)
+                    b2 = b.reshape(b.shape[0], -1)
+                    out = sharded_conv_2d(
+                        self.mesh, a2, b2, (rows, out_shape[1])
+                    )
+                    out = out[: out_shape[0]]
+                    return out.reshape(out_shape)
+                if (
+                    tp > 1
+                    and len(eff) == 1
+                    and out_shape[eff[0]] >= tp * 4 * self.min_rows
+                ):
+                    import jax.numpy as jnp
+
+                    n = out_shape[eff[0]]
+                    rows = ((n + tp - 1) // tp) * tp
+                    av = a.reshape(-1)
+                    bv = b.reshape(-1)
+                    out = sharded_conv_1d(self.mesh, av, bv, rows)[:n]
+                    shape = [1] * len(out_shape)
+                    shape[eff[0]] = n
+                    return out.reshape(out_shape)
+                return super().conv_trunc(a, b, out_shape)
+
+        return _Impl(mesh, min_rows_per_device)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import sys
 
 from ..gf.ir import GenFun
+from ..taylor.tensorpoly import CHECK_INVARIANTS as _CHECK
 from ..lang import ast
 from .support_transform import SupportTransformer
 from .supportset import SupportSet, VarSupport
@@ -186,7 +187,7 @@ class GfTransformer:
     def transform_statement(self, stmt, init: GfTranslation) -> GfTranslation:
         T = self.T
         direct_var_info = None
-        if __debug__:
+        if _CHECK:
             direct_var_info = self.support.transform_statement(
                 stmt, init.var_info.clone()
             )
@@ -278,7 +279,7 @@ class GfTransformer:
             result = self.transform_normalize(stmt.given_vars, stmt.stmts, init)
         else:
             raise AssertionError(f"unknown statement {stmt}")
-        if __debug__ and direct_var_info is not None:
+        if _CHECK and direct_var_info is not None:
             assert result.var_info == direct_var_info, (
                 f"inconsistent variable support info for:\n{stmt}"
             )

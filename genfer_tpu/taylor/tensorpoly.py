@@ -23,6 +23,12 @@ from typing import Optional, Sequence
 
 from .backend import Backend
 
+import os
+
+# expensive per-op invariant checks (reference check_invariants,
+# multivariate_taylor.rs:23-31); enable with GENFER_CHECK=1
+CHECK_INVARIANTS = bool(os.environ.get("GENFER_CHECK"))
+
 INF_DEGREE = math.inf
 
 Degrees = tuple  # of int | INF_DEGREE
@@ -52,7 +58,7 @@ class TaylorPoly:
         # c + m * x_var (with all other axes size 1).
         self.host_const = host_const
         self.linear = linear
-        if __debug__:
+        if CHECK_INVARIANTS:
             shape = backend.shape(coeffs)
             assert len(shape) <= len(self.degrees_p1), (shape, self.degrees_p1)
             assert all(

@@ -1,5 +1,8 @@
 import os
 
+# enable the expensive engine invariant checks in tests
+os.environ.setdefault("GENFER_CHECK", "1")
+
 # Force CPU with a virtual 8-device mesh so multi-chip sharding logic is
 # exercised in CI without TPU hardware (the driver dry-runs the real thing).
 # Note: the env var JAX_PLATFORMS is overridden by the axon plugin in this
