@@ -354,6 +354,125 @@ class ObjectBackend(Backend):
     def log_el(self, a):
         return _obj_ufunc(lambda x: x.log())(a)
 
+    # ---- optimized kernels -------------------------------------------
+    # The generic recursion over numpy object arrays pays enormous
+    # per-index overhead; run the Cauchy product over flat Python lists
+    # instead, with a common-denominator integer fast path for exact
+    # rationals (one gcd per output element instead of one per op).
+    def conv_trunc(self, a, b, out_shape):
+        out_shape = _norm_shape(out_shape)
+        nd = len(out_shape)
+        if a.size == 1 and b.size == 1:
+            return self._conv_generic(a, b, out_shape)
+        sa = tuple(int(x) for x in a.shape)
+        sb = tuple(int(x) for x in b.shape)
+        af = a.reshape(-1).tolist()
+        bf = b.reshape(-1).tolist()
+        T = self.scalar_cls
+        from ..numbers.scalar import Rational
+
+        if T is Rational and all(
+            x.frac is not None for x in af
+        ) and all(x.frac is not None for x in bf):
+            import math as _math
+            from fractions import Fraction
+
+            da = _math.lcm(*(x.frac.denominator for x in af)) if af else 1
+            db = _math.lcm(*(x.frac.denominator for x in bf)) if bf else 1
+            ai = [x.frac.numerator * (da // x.frac.denominator) for x in af]
+            bi = [x.frac.numerator * (db // x.frac.denominator) for x in bf]
+            zero = 0
+            ci = _flat_conv(ai, sa, bi, sb, out_shape, zero)
+            den = da * db
+            out = np.empty(out_shape, dtype=object)
+            flat = out.reshape(-1)
+            for i, v in enumerate(ci):
+                flat[i] = Rational(Fraction(v, den))
+            return out
+        zero = T.zero()
+        cf = _flat_conv(af, sa, bf, sb, out_shape, zero)
+        out = np.empty(out_shape, dtype=object)
+        flat = out.reshape(-1)
+        for i, v in enumerate(cf):
+            flat[i] = v
+        return out
+
+
+def _flat_conv(af, sa, bf, sb, out_shape, zero):
+    """Truncated n-D Cauchy product over flat Python lists (row-major)."""
+    nd = len(out_shape)
+    if nd == 1:
+        la, lb, lc = sa[0], sb[0], out_shape[0]
+        out = []
+        for k in range(lc):
+            lo = max(0, k + 1 - lb)
+            hi = min(k + 1, la)
+            acc = zero
+            for j in range(lo, hi):
+                acc = acc + af[j] * bf[k - j]
+            out.append(acc)
+        return out
+    if nd == 2:
+        (a0, a1), (b0, b1) = sa, sb
+        (c0, c1) = out_shape
+        # skip zero coefficients of a (integer/exact zeros are common)
+        a_rows = [af[i0 * a1 : (i0 + 1) * a1] for i0 in range(a0)]
+        out = [zero] * (c0 * c1)
+        for i0 in range(a0):
+            row = a_rows[i0]
+            nz = [(i1, v) for i1, v in enumerate(row) if v != zero]
+            if not nz:
+                continue
+            for j0 in range(min(b0, c0 - i0)):
+                boff = j0 * b1
+                coff = (i0 + j0) * c1
+                for i1, v in nz:
+                    hi = min(b1, c1 - i1)
+                    for j1 in range(hi):
+                        idx = coff + i1 + j1
+                        out[idx] = out[idx] + v * bf[boff + j1]
+        return out
+    # general n-D: iterate nonzero coefficients of a, scatter v * b into
+    # the output with per-axis truncation clipping; the innermost axis is a
+    # contiguous run (no per-element index arithmetic)
+    def strides(shape):
+        st = [1] * nd
+        for i in range(nd - 2, -1, -1):
+            st[i] = st[i + 1] * shape[i + 1]
+        return st
+
+    sta, stb, stc = strides(sa), strides(sb), strides(out_shape)
+    total = 1
+    for s_ in out_shape:
+        total *= s_
+    out = [zero] * total
+
+    import itertools
+
+    for i_multi in itertools.product(*(range(s_) for s_ in sa)):
+        oa = sum(i_multi[d] * sta[d] for d in range(nd))
+        v = af[oa]
+        if v == zero:
+            continue
+        # bounds for j along each axis: j_d < min(sb_d, c_d - i_d)
+        bounds = [min(sb[d], out_shape[d] - i_multi[d]) for d in range(nd)]
+        if any(bd <= 0 for bd in bounds):
+            continue
+        base_c = sum(i_multi[d] * stc[d] for d in range(nd))
+
+        def scatter(d, boff, coff):
+            if d == nd - 1:
+                run = bounds[d]
+                for j in range(run):
+                    idx = coff + j
+                    out[idx] = out[idx] + v * bf[boff + j]
+                return
+            for j in range(bounds[d]):
+                scatter(d + 1, boff + j * stb[d], coff + j * stc[d])
+
+        scatter(0, 0, base_c)
+    return out
+
 
 def _obj_ufunc(f):
     uf = np.frompyfunc(f, 1, 1)
