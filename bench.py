@@ -128,6 +128,15 @@ def bench_suite():
         rational = model_dir / f"{name}.rational.sgcl"
         if not rational.exists():
             rational = fp
+        # pure-Python exact rationals are too slow for the data-heavy
+        # models (native GMP-backed kernels are future work); bound by
+        # program size
+        from genfer_tpu.lang.parser import parse_program
+
+        if parse_program(rational.read_text()).size() > 400:
+            print(f"  {name} [rational]: skipped (large model, "
+                  "pure-Python rationals)", file=sys.stderr)
+            continue
         dt, err = run_one(rational, ["--rational", "--no-probs"])
         msg = f"{dt:.3f}s" if dt is not None else "-"
         if err:
