@@ -389,6 +389,28 @@ class ObjectBackend(Backend):
             for i, v in enumerate(ci):
                 flat[i] = Rational(Fraction(v, den))
             return out
+        from ..numbers.scalar import MultiPrec, get_precision
+
+        if T is MultiPrec:
+            import mpmath
+            from mpmath.libmp import from_man_exp
+
+            if all(mpmath.isfinite(x.v) for x in af) and all(
+                mpmath.isfinite(x.v) for x in bf
+            ):
+                ok, ai, ea = _mpf_to_scaled_ints([x.v for x in af])
+                if ok:
+                    ok, bi, eb = _mpf_to_scaled_ints([x.v for x in bf])
+                    if ok:
+                        ci = _flat_conv(ai, sa, bi, sb, out_shape, 0)
+                        prec = get_precision()
+                        out = np.empty(out_shape, dtype=object)
+                        flat = out.reshape(-1)
+                        for i, v in enumerate(ci):
+                            flat[i] = MultiPrec(
+                                mpmath.mpf(from_man_exp(v, ea + eb, prec, "n"))
+                            )
+                        return out
         zero = T.zero()
         cf = _flat_conv(af, sa, bf, sb, out_shape, zero)
         out = np.empty(out_shape, dtype=object)
@@ -396,6 +418,33 @@ class ObjectBackend(Backend):
         for i, v in enumerate(cf):
             flat[i] = v
         return out
+
+
+def _mpf_to_scaled_ints(values, max_shift_bits: int = 200_000):
+    """Represent mpf values exactly as integers times a common 2^E.
+
+    Returns (ok, ints, E); ok=False when the exponent spread would blow up
+    the integer sizes (caller falls back to per-element arithmetic)."""
+    mans = []
+    exps = []
+    for v in values:
+        sign, man, exp, _bc = v._mpf_
+        if man == 0:
+            mans.append(0)
+            exps.append(None)
+        else:
+            mans.append(-man if sign else man)
+            exps.append(exp)
+    finite_exps = [e for e in exps if e is not None]
+    if not finite_exps:
+        return True, [0] * len(values), 0
+    E = min(finite_exps)
+    if max(finite_exps) - E > max_shift_bits:
+        return False, None, 0
+    ints = [
+        0 if e is None else m << (e - E) for m, e in zip(mans, exps)
+    ]
+    return True, ints, E
 
 
 def _flat_conv(af, sa, bf, sb, out_shape, zero):

@@ -1,0 +1,82 @@
+"""Tests for the library API and the exact-arithmetic conv fast paths."""
+
+import numpy as np
+import pytest
+
+from genfer_tpu import api
+
+
+EXAMPLE = """
+calls ~ Poisson(10);
+scams ~ Binomial(calls, 0.2);
+observe(scams = 1);
+return calls;
+"""
+
+
+def test_infer_f64():
+    r = api.infer(EXAMPLE)
+    assert r.total.to_float() == pytest.approx(0.27067056647322557, rel=1e-12)
+    assert r.mean.to_float() == pytest.approx(9.0, rel=1e-12)
+    v, s, k = r.standardized()
+    assert v.to_float() == pytest.approx(8.0, rel=1e-9)
+    ps = r.probs(3, normalized=False)
+    assert ps[1].to_float() == pytest.approx(9.079985952496972e-5, rel=1e-9)
+
+
+def test_infer_rational():
+    r = api.infer("X ~ Bernoulli(1/3); Y ~ Binomial(4, 1/2); observe X = 1; return Y",
+                  mode="rational")
+    from fractions import Fraction
+
+    assert r.total.frac == Fraction(1, 3)
+    assert r.mean.frac == Fraction(2)
+
+
+def test_infer_bounds():
+    r = api.infer(EXAMPLE, mode="f64-bounds")
+    lo, hi = r.total.lo.to_float(), r.total.hi.to_float()
+    assert lo <= 0.27067056647322557 <= hi
+    assert hi - lo < 1e-10
+
+
+def test_infer_multiprec():
+    r = api.infer("X ~ Geometric(1/4); return X", mode="multiprec",
+                  precision=150)
+    assert abs(r.mean.to_float() - 3.0) < 1e-12
+
+
+def test_multiprec_int_conv_path():
+    """The common-scale integer conv for mpf coefficients must agree with
+    per-element mpf arithmetic."""
+    import mpmath
+
+    from genfer_tpu.numbers.scalar import MultiPrec, set_precision
+    from genfer_tpu.taylor.backend import ObjectBackend
+
+    set_precision(200)
+    b = ObjectBackend(MultiPrec)
+    rng = np.random.RandomState(0)
+    a = b.from_nested([MultiPrec(x) for x in rng.rand(6)])
+    c = b.from_nested([MultiPrec(x) for x in rng.rand(5)])
+    out = b.conv_trunc(a, c, (8,))
+    ref = b._conv_generic(a, c, (8,))
+    for i in range(8):
+        x, y = out[i], ref[i]
+        assert abs((x - y).to_float()) < 1e-50
+    set_precision(53)
+
+
+def test_rational_int_conv_path():
+    from fractions import Fraction
+
+    from genfer_tpu.numbers.scalar import Rational
+    from genfer_tpu.taylor.backend import ObjectBackend
+
+    b = ObjectBackend(Rational)
+    a = b.from_nested([Rational(Fraction(i, 7)) for i in range(1, 5)])
+    c = b.from_nested([Rational(Fraction(i, 3)) for i in range(1, 4)])
+    out = b.conv_trunc(a, c, (6,))
+    ref = b._conv_generic(a, c, (6,))
+    for i in range(6):
+        assert out[i].frac == ref[i].frac
