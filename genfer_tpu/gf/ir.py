@@ -482,6 +482,11 @@ class GenFun:
             if len(taylor.degrees_p1) > len(inputs):
                 assert len(taylor.degrees_p1) == len(inputs) + 1
                 result = result.remove_last_variable()
+            # the substituted series has constant term exactly 0 (c was
+            # split off), so the composite's order-0 coefficient equals the
+            # child's
+            if result.const0 is None:
+                result.const0 = taylor.const0
             return result
         if k == DERIVATIVE:
             taylor = self.args[0].eval_with(
@@ -568,7 +573,9 @@ def _inputs_key(inputs):
 
 def _const_term_host(poly: TaylorPoly):
     """Constant term as a host scalar, using metadata when available to
-    avoid a device sync."""
+    avoid a device sync (required under tracing)."""
+    if poly.const0 is not None:
+        return poly.const0
     if poly.host_const is not None and poly.is_constant():
         return poly.host_const
     if poly.linear is not None:

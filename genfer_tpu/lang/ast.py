@@ -19,6 +19,38 @@ def var_name(i: int) -> str:
 
 
 @dataclass(frozen=True)
+class ParamRatio:
+    """A named inference-time parameter in a probability position
+    (``$name`` in the source); used by the compiled/batched mode
+    (genfer_tpu.compile) - not part of the reference language."""
+
+    name: str
+    complemented: bool = False
+
+    def complement(self) -> "ParamRatio":
+        return ParamRatio(self.name, not self.complemented)
+
+    def as_integer(self):
+        return None
+
+    def is_zero(self) -> bool:
+        return False
+
+    def __str__(self):
+        return ("1-$" if self.complemented else "$") + self.name
+
+
+def ratio_to_scalar(T, r):
+    """Lift a PosRatio or ParamRatio into a host scalar of type T."""
+    if isinstance(r, ParamRatio):
+        expr = T.param(r.name)
+        if r.complemented:
+            return T.one() - expr
+        return expr
+    return T.from_ratio(r.numer, r.denom)
+
+
+@dataclass(frozen=True)
 class PosRatio:
     """Nonnegative rational with u64 numerator/denominator
     (reference: ppl.rs:34-95)."""
@@ -308,10 +340,9 @@ class Event:
             if isinstance(self.dist, Bernoulli):
                 p = self.dist.p
                 if self.data == 0:
-                    c = p.complement()
-                    return T.from_ratio(c.numer, c.denom)
+                    return ratio_to_scalar(T, p.complement())
                 if self.data == 1:
-                    return T.from_ratio(p.numer, p.denom)
+                    return ratio_to_scalar(T, p)
                 return T.zero()
             return None
         if isinstance(self, Complement):

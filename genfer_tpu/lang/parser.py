@@ -109,9 +109,14 @@ class _Parser:
         self.pos = m.end()
         return m.group()
 
-    def pos_ratio(self) -> PosRatio:
+    def pos_ratio(self):
         """Rational: ``a/b`` or decimal ``12.34`` as exact ratio
-        (reference: parser.rs:41-68)."""
+        (reference: parser.rs:41-68); additionally ``$name`` denotes an
+        inference-time parameter (compiled mode extension)."""
+        self.skip_ws()
+        if self.pos < len(self.text) and self.text[self.pos] == "$":
+            self.pos += 1
+            return ast.ParamRatio(self.identifier())
         n = self.natural()
         if self.try_str("/"):
             d = self.natural()
@@ -204,7 +209,9 @@ class _Parser:
 
     def _ratio_or_var(self, mk_ratio, mk_var):
         self.skip_ws()
-        if _NAT_RE.match(self.text, self.pos):
+        if _NAT_RE.match(self.text, self.pos) or self.text.startswith(
+            "$", self.pos
+        ):
             return mk_ratio(self.pos_ratio())
         return mk_var(self.expect_var(self.identifier()))
 

@@ -321,7 +321,7 @@ class GfTransformer:
         var = GenFun.var_(v)
 
         def rat(r):
-            return GenFun.from_ratio(T, r.numer, r.denom)
+            return GenFun.constant(ast.ratio_to_scalar(T, r))
 
         if isinstance(dist, ast.Dirac):
             a = dist.a.as_integer()
@@ -397,7 +397,7 @@ class GfTransformer:
         elif isinstance(dist, ast.UniformDisc):
             assert dist.end > dist.start, "Uniform distribution cannot have length 0"
             length = dist.end - dist.start
-            weight = GenFun.from_ratio(T, 1, length)
+            weight = rat(ast.PosRatio(1, length))
             uniform = GenFun.zero(T)
             for _ in range(length):
                 uniform = weight + var * uniform
@@ -416,8 +416,8 @@ class GfTransformer:
                 gamma = (rat(dist.shape) * (beta.log() - (beta - var).log())).exp()
             new_gf = gamma * base
         elif isinstance(dist, ast.UniformCont):
-            width = T.from_ratio(dist.end.numer, dist.end.denom) - T.from_ratio(
-                dist.start.numer, dist.start.denom
+            width = ast.ratio_to_scalar(T, dist.end) - ast.ratio_to_scalar(
+                T, dist.start
             )
             x = GenFun.constant(width) * var
             uniform = GenFun.uniform_mgf(x) * (rat(dist.start) * var).exp()
@@ -442,11 +442,11 @@ class GfTransformer:
             return GenFun.zero(T)
         if isinstance(dist, ast.BinomialVarTrials):
             w = dist.var
-            replacement = GenFun.from_ratio(
-                T, dist.p.complement().numer, dist.p.complement().denom
+            replacement = GenFun.constant(
+                ast.ratio_to_scalar(T, dist.p.complement())
             ) * GenFun.var_(w)
             return gf.taylor_coeff(w, data).substitute_var(w, replacement) * (
-                GenFun.from_ratio(T, dist.p.numer, dist.p.denom) * GenFun.var_(w)
+                GenFun.constant(ast.ratio_to_scalar(T, dist.p)) * GenFun.var_(w)
             ).pow(data)
         # general case: sample into a fresh temporary variable, extract the
         # coefficient, marginalize the temporary out (reference: 565-586)

@@ -40,7 +40,8 @@ def _as_int(d) -> int:
 
 
 class TaylorPoly:
-    __slots__ = ("backend", "coeffs", "degrees_p1", "host_const", "linear")
+    __slots__ = ("backend", "coeffs", "degrees_p1", "host_const", "linear",
+                 "const0")
 
     def __init__(
         self,
@@ -49,15 +50,24 @@ class TaylorPoly:
         degrees_p1: Sequence,
         host_const=None,
         linear: Optional[tuple] = None,
+        const0=None,
     ):
         self.backend = backend
         self.coeffs = coeffs
         self.degrees_p1 = tuple(degrees_p1)
         # metadata: host_const is a host scalar if the poly is that constant
         # (size-1 coeffs); linear is (c, m, var) meaning the poly is exactly
-        # c + m * x_var (with all other axes size 1).
+        # c + m * x_var (with all other axes size 1); const0 is the host
+        # value of the order-0 coefficient alone (weaker than host_const,
+        # needed by traced backends where device values cannot be read back)
         self.host_const = host_const
         self.linear = linear
+        if const0 is None:
+            if host_const is not None:
+                const0 = host_const
+            elif linear is not None:
+                const0 = linear[0]
+        self.const0 = const0
         if CHECK_INVARIANTS:
             shape = backend.shape(coeffs)
             assert len(shape) <= len(self.degrees_p1), (shape, self.degrees_p1)
@@ -246,7 +256,8 @@ class TaylorPoly:
         while len(degrees) < ndim:
             degrees.append(degree_p1)
         return TaylorPoly(
-            b, coeffs, degrees, host_const=self.host_const, linear=self.linear
+            b, coeffs, degrees, host_const=self.host_const, linear=self.linear,
+            const0=self.const0,
         )
 
     def remove_last_variable(self):
@@ -256,7 +267,8 @@ class TaylorPoly:
         if v < self.ndim:
             coeffs = b.index(coeffs, v, 0)
         degrees = self.degrees_p1[:-1]
-        return TaylorPoly(b, coeffs, degrees, host_const=self.host_const)
+        return TaylorPoly(b, coeffs, degrees, host_const=self.host_const,
+                          const0=self.const0)
 
     def truncate_to_degree_p1(self, degree_p1):
         b = self.backend
@@ -267,7 +279,8 @@ class TaylorPoly:
             if degree_p1 != INF_DEGREE and shape[v] > degree_p1:
                 coeffs = b.slice_axis(coeffs, v, 0, _as_int(degree_p1))
         return TaylorPoly(
-            b, coeffs, degrees, host_const=self.host_const, linear=self.linear
+            b, coeffs, degrees, host_const=self.host_const, linear=self.linear,
+            const0=self.const0,
         )
 
     def _truncate_degrees_p1(self, degrees_p1):
@@ -287,7 +300,8 @@ class TaylorPoly:
         if changed:
             lin = None  # slicing could drop the linear coefficient
         return TaylorPoly(
-            b, coeffs, degrees, host_const=self.host_const, linear=lin
+            b, coeffs, degrees, host_const=self.host_const, linear=lin,
+            const0=self.const0,
         )
 
     def min_degrees_p1(self, other: "TaylorPoly") -> list:
@@ -345,8 +359,10 @@ class TaylorPoly:
             ca = b.reshape(ca, list(b.shape(ca)) + [1] * (nb - na))
         elif nb < na:
             cb = b.reshape(cb, list(b.shape(cb)) + [1] * (na - nb))
-        a2 = TaylorPoly(b, ca, da, host_const=self.host_const, linear=self.linear)
-        b2 = TaylorPoly(b, cb, db, host_const=other.host_const, linear=other.linear)
+        a2 = TaylorPoly(b, ca, da, host_const=self.host_const,
+                        linear=self.linear, const0=self.const0)
+        b2 = TaylorPoly(b, cb, db, host_const=other.host_const,
+                        linear=other.linear, const0=other.const0)
         return a2, b2
 
     # ------------------------------------------------------------------
@@ -383,7 +399,8 @@ class TaylorPoly:
         if order >= self.coeffs_shape()[v]:
             return TaylorPoly.zero_with(b, self.degrees_p1)
         sliced = b.slice_axis(self.coeffs, v, order, order + 1)
-        return TaylorPoly(b, sliced, self.degrees_p1)
+        return TaylorPoly(b, sliced, self.degrees_p1,
+                          const0=self.const0 if order == 0 else None)
 
     def taylor_polynomial(self, v: int, order: int):
         """reference: 360-378."""
@@ -397,7 +414,8 @@ class TaylorPoly:
             return self
         upper = min(self.coeffs_shape()[v], order + 1)
         return TaylorPoly(
-            b, b.slice_axis(self.coeffs, v, 0, upper), self.degrees_p1
+            b, b.slice_axis(self.coeffs, v, 0, upper), self.degrees_p1,
+            const0=self.const0,
         )
 
     def taylor_polynomial_terms(self, v: int, orders: Sequence[int]):
@@ -501,7 +519,8 @@ class TaylorPoly:
         degrees = self.min_degrees_p1(subst)
         if subst.is_zero():
             return TaylorPoly(
-                b, b.slice_axis(self.coeffs, v, 0, 1), degrees
+                b, b.slice_axis(self.coeffs, v, 0, 1), degrees,
+                const0=self.const0,
             )
         lin = subst.extract_linear()
         if lin is not None:
@@ -521,7 +540,7 @@ class TaylorPoly:
                     factors.append(factor)
                     factor = factor * m
                 result = b.scale_axis(coeffs, v, factors)
-                return TaylorPoly(b, result, degrees)
+                return TaylorPoly(b, result, degrees, const0=self.const0)
         # general Horner
         res = TaylorPoly.zero_with(b, degrees)
         coeffs = self.coeffs
@@ -558,17 +577,21 @@ class TaylorPoly:
         if a2.host_const is not None and b2.host_const is not None:
             hc = a2.host_const + b2.host_const
         lin = _lin_add(a2, b2)
+        c0 = _c0_of(a2, b2, lambda x, y: x + y)
         if _size(b2.coeffs_shape()) == 1:
             coeffs = _add_at_zero(b, a2.coeffs, b2.extract_constant())
-            return TaylorPoly(b, coeffs, result_degrees, host_const=hc, linear=lin)
+            return TaylorPoly(b, coeffs, result_degrees, host_const=hc,
+                              linear=lin, const0=c0)
         if _size(a2.coeffs_shape()) == 1:
             coeffs = _add_at_zero(b, b2.coeffs, a2.extract_constant())
-            return TaylorPoly(b, coeffs, result_degrees, host_const=hc, linear=lin)
+            return TaylorPoly(b, coeffs, result_degrees, host_const=hc,
+                              linear=lin, const0=c0)
         shape = a2._max_shape(b2)
         a2 = a2._truncate_degrees_p1(shape)
         b2 = b2._truncate_degrees_p1(shape)
         result = b.add(b.pad_to(a2.coeffs, shape), b.pad_to(b2.coeffs, shape))
-        return TaylorPoly(b, result, result_degrees, host_const=hc, linear=lin)
+        return TaylorPoly(b, result, result_degrees, host_const=hc,
+                          linear=lin, const0=c0)
 
     def __sub__(self, other: "TaylorPoly"):
         b = self.backend
@@ -580,15 +603,19 @@ class TaylorPoly:
         if a2.host_const is not None and b2.host_const is not None:
             hc = a2.host_const - b2.host_const
         lin = _lin_sub(a2, b2)
+        c0 = _c0_of(a2, b2, lambda x, y: x - y)
         if _size(b2.coeffs_shape()) == 1:
             coeffs = _sub_at_zero(b, a2.coeffs, b2.extract_constant())
-            return TaylorPoly(b, coeffs, result_degrees, host_const=hc, linear=lin)
+            return TaylorPoly(b, coeffs, result_degrees, host_const=hc,
+                              linear=lin, const0=c0)
         if _size(a2.coeffs_shape()) == 1:
             coeffs = b.neg(_sub_at_zero(b, b2.coeffs, a2.extract_constant()))
-            return TaylorPoly(b, coeffs, result_degrees, host_const=hc, linear=lin)
+            return TaylorPoly(b, coeffs, result_degrees, host_const=hc,
+                              linear=lin, const0=c0)
         shape = a2._max_shape(b2)
         result = b.sub(b.pad_to(a2.coeffs, shape), b.pad_to(b2.coeffs, shape))
-        return TaylorPoly(b, result, result_degrees, host_const=hc, linear=lin)
+        return TaylorPoly(b, result, result_degrees, host_const=hc,
+                          linear=lin, const0=c0)
 
     def __neg__(self):
         b = self.backend
@@ -598,7 +625,8 @@ class TaylorPoly:
             c, m, v = self.linear
             lin = (-c, -m, v)
         return TaylorPoly(
-            b, b.neg(self.coeffs), self.degrees_p1, host_const=hc, linear=lin
+            b, b.neg(self.coeffs), self.degrees_p1, host_const=hc, linear=lin,
+            const0=-self.const0 if self.const0 is not None else None,
         )
 
     def __mul__(self, other: "TaylorPoly"):
@@ -617,6 +645,7 @@ class TaylorPoly:
         hc = None
         if a2.host_const is not None and b2.host_const is not None:
             hc = a2.host_const * b2.host_const
+        c0 = _c0_of(a2, b2, lambda x, y: x * y)
         # constant fast paths (shape-based, reference: 1040-1047)
         ca = a2.extract_constant()
         if ca is not None:
@@ -625,7 +654,8 @@ class TaylorPoly:
                 c, m, v = b2.linear
                 lin = (a2.host_const * c, a2.host_const * m, v)
             coeffs = b.mul(ca, b2.coeffs)
-            return TaylorPoly(b, coeffs, degrees, host_const=hc, linear=lin)
+            return TaylorPoly(b, coeffs, degrees, host_const=hc, linear=lin,
+                              const0=c0)
         cb = b2.extract_constant()
         if cb is not None:
             lin = None
@@ -633,7 +663,8 @@ class TaylorPoly:
                 c, m, v = a2.linear
                 lin = (b2.host_const * c, b2.host_const * m, v)
             coeffs = b.mul(cb, a2.coeffs)
-            return TaylorPoly(b, coeffs, degrees, host_const=hc, linear=lin)
+            return TaylorPoly(b, coeffs, degrees, host_const=hc, linear=lin,
+                              const0=c0)
         # linear fast paths (reference: 1049-1061)
         la = a2.extract_linear()
         if la is not None:
@@ -649,7 +680,7 @@ class TaylorPoly:
             return a2.mul_linear(c, m, v, s, degrees)
         # general truncated Cauchy product
         result = b.conv_trunc(a2.coeffs, b2.coeffs, shape)
-        return TaylorPoly(b, result, degrees)
+        return TaylorPoly(b, result, degrees, const0=c0)
 
     def mul_var(self, m, v: int, shape, degrees):
         """Multiply by m * x_v (reference: 589-608)."""
@@ -663,7 +694,8 @@ class TaylorPoly:
                 coeffs = b.slice_axis(coeffs, ax, 0, shape[ax])
         # embed at offset 1 along axis v into zeros(shape)
         result = _embed(b, coeffs, shape, v, 1)
-        return TaylorPoly(b, result, degrees)
+        return TaylorPoly(b, result, degrees,
+                          const0=b.scalar_cls.zero())
 
     def mul_linear(self, c, m, v: int, shape, degrees):
         """Multiply by c + m * x_v (reference: 611-623)."""
@@ -684,6 +716,7 @@ class TaylorPoly:
         hc = None
         if a2.host_const is not None and b2.host_const is not None:
             hc = a2.host_const / b2.host_const
+        c0 = _c0_of(a2, b2, lambda x, y: x / y)
         cb = b2.extract_constant()
         if cb is not None:
             lin = None
@@ -691,7 +724,8 @@ class TaylorPoly:
                 c, m, v = a2.linear
                 lin = (c / b2.host_const, m / b2.host_const, v)
             coeffs = b.div(a2.coeffs, cb)
-            return TaylorPoly(b, coeffs, degrees, host_const=hc, linear=lin)
+            return TaylorPoly(b, coeffs, degrees, host_const=hc, linear=lin,
+                              const0=c0)
         n = len(degrees)
         a2 = a2.extend_to_dim(n, 1) if a2.ndim < n else a2
         b2 = b2.extend_to_dim(n, 1) if b2.ndim < n else b2
@@ -702,7 +736,7 @@ class TaylorPoly:
                 result_shape[i] = sa[i]
         result_shape = [_as_int(s) for s in result_shape]
         result = b.poly_div(a2.coeffs, b2.coeffs, result_shape)
-        return TaylorPoly(b, result, degrees)
+        return TaylorPoly(b, result, degrees, const0=c0)
 
     def exp(self):
         """reference: 406-417."""
@@ -723,7 +757,8 @@ class TaylorPoly:
                 shape[i] = 1
         shape = [_as_int(s) for s in shape]
         result = b.poly_exp(me.coeffs, shape)
-        return TaylorPoly(b, result, self.degrees_p1)
+        c0 = self.const0.exp() if self.const0 is not None else None
+        return TaylorPoly(b, result, self.degrees_p1, const0=c0)
 
     def log(self):
         """reference: 419-430."""
@@ -744,7 +779,8 @@ class TaylorPoly:
                 shape[i] = 1
         shape = [_as_int(s) for s in shape]
         result = b.poly_log(me.coeffs, shape)
-        return TaylorPoly(b, result, self.degrees_p1)
+        c0 = self.const0.log() if self.const0 is not None else None
+        return TaylorPoly(b, result, self.degrees_p1, const0=c0)
 
     def pow(self, n: int):
         """Binary exponentiation (reference: 433-451)."""
@@ -769,6 +805,7 @@ class TaylorPoly:
             degrees,
             host_const=self.host_const,
             linear=self.linear,
+            const0=self.const0,
         )
 
     def zero_pad(self, new_degrees_p1):
@@ -785,7 +822,8 @@ class TaylorPoly:
                 list(b.shape(coeffs)) + [1] * (len(new_degrees_p1) - nd),
             )
         return TaylorPoly(
-            b, coeffs, new_degrees_p1, host_const=self.host_const, linear=self.linear
+            b, coeffs, new_degrees_p1, host_const=self.host_const,
+            linear=self.linear, const0=self.const0,
         )
 
     def to_nested_host(self):
@@ -807,6 +845,12 @@ class TaylorPoly:
 # ----------------------------------------------------------------------
 # helpers
 # ----------------------------------------------------------------------
+
+def _c0_of(a: "TaylorPoly", b: "TaylorPoly", op):
+    if a.const0 is not None and b.const0 is not None:
+        return op(a.const0, b.const0)
+    return None
+
 
 def _size(shape) -> int:
     out = 1
