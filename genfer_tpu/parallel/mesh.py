@@ -20,8 +20,6 @@ Axes:
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 
