@@ -146,11 +146,55 @@ def bench_suite():
     return total
 
 
+def bench_order_scaling(limit=256, backends=("hybrid", "numpy")):
+    """End-to-end inference on a 2-variable population model at high
+    truncation order (the BASELINE.json north-star configuration), per
+    backend.  The numpy backend is the host/CPU-class baseline (same
+    asymptotics as the reference's native engine, C kernels); hybrid
+    offloads the large Cauchy products to the accelerator."""
+    import io
+    from contextlib import redirect_stdout
+
+    from genfer_tpu.tools.generators import generate_population
+
+    src = generate_population(None, 200, 2)
+    from genfer_tpu.cli import main as cli_main
+    import tempfile
+    import os
+
+    with tempfile.NamedTemporaryFile("w", suffix=".sgcl", delete=False) as f:
+        f.write(src)
+        path = f.name
+    results = {}
+    try:
+        for backend in backends:
+            t0 = time.perf_counter()
+            try:
+                with redirect_stdout(io.StringIO()):
+                    cli_main([
+                        path, "--no-timing", "--limit", str(limit),
+                        "--backend", backend,
+                    ])
+                results[backend] = time.perf_counter() - t0
+                print(
+                    f"  order-scaling limit={limit} [{backend}]: "
+                    f"{results[backend]:.2f}s",
+                    file=sys.stderr,
+                )
+            except Exception as e:
+                print(f"  order-scaling [{backend}]: FAILED {e}",
+                      file=sys.stderr)
+    finally:
+        os.unlink(path)
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--order", type=int, default=256)
     ap.add_argument("--ndim", type=int, default=2)
     ap.add_argument("--suite", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
     args = ap.parse_args()
 
     gflops, dt = bench_kernel(order=args.order, ndim=args.ndim)
@@ -161,6 +205,8 @@ def main():
     )
     if args.suite:
         bench_suite()
+    if args.scaling:
+        bench_order_scaling()
     print(
         json.dumps(
             {

@@ -107,7 +107,9 @@ def select_mode(args):
     else:
         elem = F64
 
-    choice = args.backend
+    import os
+
+    choice = args.backend or os.environ.get("GENFER_BACKEND")
     if choice is None:
         choice = "hybrid" if _accelerator_present() else "numpy"
     if args.bounds:
