@@ -180,6 +180,17 @@ def _enable_x64():
         import jax
 
         jax.config.update("jax_enable_x64", True)
+        # persistent compilation cache: offloaded kernel shapes are
+        # bucketed, so steady-state runs hit the disk cache
+        import os
+
+        cache_dir = os.environ.get(
+            "GENFER_XLA_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "genfer_tpu_xla"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
 

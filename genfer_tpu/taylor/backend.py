@@ -1319,10 +1319,15 @@ class HybridBackend(NumpyF64Backend):
     while the offloaded compute is O(order^{n+1}).
     """
 
-    #: minimum number of multiply-adds before a conv is offloaded
-    CONV_OFFLOAD_FLOPS = 2_000_000
+    #: minimum number of multiply-adds before a conv is offloaded.
+    #: Offload pays a device dispatch (up to ~100ms through remote TPU
+    #: tunnels) and a per-shape compile, so only ops where the host would
+    #: spend seconds are worth it; shapes are bucketed to bound compiles.
+    CONV_OFFLOAD_FLOPS = 2_000_000_000
     #: minimum length before a 1-axis recurrence is offloaded
-    SOLVE_OFFLOAD_LEN = 192
+    SOLVE_OFFLOAD_LEN = 4096
+    #: operand axes are padded up to multiples of this before offload
+    SHAPE_BUCKET = 64
 
     def __init__(self):
         super().__init__()
@@ -1331,7 +1336,9 @@ class HybridBackend(NumpyF64Backend):
         self._jax = jax
         self._jnp = __import__("jax.numpy", fromlist=["numpy"])
 
-    def _conv_flops(self, a_shape, b_shape, out_shape):
+    @staticmethod
+    @functools.lru_cache(maxsize=4096)
+    def _conv_flops(a_shape, b_shape, out_shape):
         total = 1
         for s_a, s_b, o in zip(a_shape, b_shape, out_shape):
             pairs = 0
@@ -1343,14 +1350,28 @@ class HybridBackend(NumpyF64Backend):
     def conv_trunc(self, a, b, out_shape):
         out_shape = _norm_shape(out_shape)
         if (
-            self._conv_flops(a.shape, b.shape, out_shape)
+            self._conv_flops(tuple(a.shape), tuple(b.shape), out_shape)
             >= self.CONV_OFFLOAD_FLOPS
         ):
             jnp = self._jnp
-            out = _conv_jit(tuple(a.shape), tuple(b.shape), out_shape)(
-                jnp.asarray(a), jnp.asarray(b)
-            )
-            return np.asarray(out)
+            bucket = self.SHAPE_BUCKET
+
+            def up(n):
+                return ((int(n) + bucket - 1) // bucket) * bucket
+
+            # pad everything to bucketed shapes to bound the number of
+            # distinct compiled kernels (extra coefficients are zeros and
+            # do not change the lower-order outputs)
+            pa = tuple(up(n) for n in a.shape)
+            pb = tuple(up(n) for n in b.shape)
+            po = tuple(up(n) for n in out_shape)
+            ap = np.zeros(pa)
+            ap[tuple(slice(0, n) for n in a.shape)] = a
+            bp = np.zeros(pb)
+            bp[tuple(slice(0, n) for n in b.shape)] = b
+            out = _conv_jit(pa, pb, po)(jnp.asarray(ap), jnp.asarray(bp))
+            out = np.asarray(out)
+            return out[tuple(slice(0, n) for n in out_shape)]
         return super().conv_trunc(a, b, out_shape)
 
     def poly_div(self, xs, ys, out_shape):

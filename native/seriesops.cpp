@@ -81,66 +81,79 @@ int64_t numel(const std::vector<int64_t>& shape) {
     return n;
 }
 
-// Truncated n-D Cauchy product: iterate output multi-indices; inner loop
-// over the first axis uses the 1-D band structure, recursion handled by
-// an explicit odometer over the remaining axes.
+// Truncated n-D Cauchy product.  Iterate the elements of the *smaller*
+// operand and scatter val * other into the clipped output box; the last
+// dimension is a contiguous run (no per-element index arithmetic, no
+// allocations inside the loops).
+void scatter_rec(const double* big, const std::vector<int64_t>& sbig,
+                 const std::vector<int64_t>& strb,
+                 double* c, const std::vector<int64_t>& sc,
+                 const std::vector<int64_t>& strc,
+                 const std::vector<int64_t>& bounds, double v,
+                 size_t d, int64_t boff, int64_t coff) {
+    const size_t nd = sc.size();
+    if (d == nd - 1) {
+        const int64_t run = bounds[d];
+        const double* bp = big + boff;
+        double* cp = c + coff;
+        for (int64_t j = 0; j < run; j++) cp[j] += v * bp[j];
+        return;
+    }
+    for (int64_t j = 0; j < bounds[d]; j++) {
+        scatter_rec(big, sbig, strb, c, sc, strc, bounds, v, d + 1,
+                    boff + j * strb[d], coff + j * strc[d]);
+    }
+}
+
 void conv_nd(const double* a, const std::vector<int64_t>& sa,
              const double* b, const std::vector<int64_t>& sb,
              double* c, const std::vector<int64_t>& sc) {
     const size_t nd = sc.size();
-    const auto stra = strides_of(sa);
-    const auto strb = strides_of(sb);
-    const auto strc = strides_of(sc);
-    std::vector<int64_t> k(nd, 0);  // output index
-    const int64_t total = numel(sc);
-    std::vector<int64_t> i(nd, 0);  // a-index
-    for (int64_t flat = 0; flat < total; flat++) {
-        double acc = 0.0;
-        // enumerate all a-indices i with i <= k (componentwise) and
-        // k - i within b's shape
-        std::vector<int64_t> lo(nd), hi(nd);
-        bool empty = false;
-        for (size_t d = 0; d < nd; d++) {
-            lo[d] = k[d] - (sb[d] - 1) > 0 ? k[d] - (sb[d] - 1) : 0;
-            hi[d] = k[d] < sa[d] - 1 ? k[d] : sa[d] - 1;
-            if (lo[d] > hi[d]) {
-                empty = true;
-                break;
+    // choose the smaller operand as the scatter source
+    const double* small_p = a;
+    const double* big_p = b;
+    const std::vector<int64_t>* ssmall = &sa;
+    const std::vector<int64_t>* sbig = &sb;
+    if (numel(sb) < numel(sa)) {
+        small_p = b;
+        big_p = a;
+        ssmall = &sb;
+        sbig = &sa;
+    }
+    const auto str_small = strides_of(*ssmall);
+    const auto str_big = strides_of(*sbig);
+    const auto str_c = strides_of(sc);
+    const int64_t total_c = numel(sc);
+    for (int64_t i = 0; i < total_c; i++) c[i] = 0.0;
+    std::vector<int64_t> idx(nd, 0);
+    std::vector<int64_t> bounds(nd, 0);
+    const int64_t total_s = numel(*ssmall);
+    for (int64_t flat = 0; flat < total_s; flat++) {
+        const double v = small_p[flat];
+        if (v != 0.0) {
+            bool ok = true;
+            int64_t coff = 0;
+            for (size_t d = 0; d < nd; d++) {
+                int64_t bd = sc[d] - idx[d];
+                if ((*sbig)[d] < bd) bd = (*sbig)[d];
+                if (bd <= 0) {
+                    ok = false;
+                    break;
+                }
+                bounds[d] = bd;
+                coff += idx[d] * str_c[d];
             }
-            i[d] = lo[d];
-        }
-        if (!empty) {
-            while (true) {
-                int64_t oa = 0, ob = 0;
-                for (size_t d = 0; d < nd; d++) {
-                    oa += i[d] * stra[d];
-                    ob += (k[d] - i[d]) * strb[d];
-                }
-                acc += a[oa] * b[ob];
-                // odometer over i within [lo, hi]
-                size_t d = nd;
-                while (d > 0) {
-                    d--;
-                    if (i[d] < hi[d]) {
-                        i[d]++;
-                        for (size_t e = d + 1; e < nd; e++) i[e] = lo[e];
-                        break;
-                    }
-                    if (d == 0) goto done;
-                }
-                if (nd == 0) break;
+            if (ok) {
+                scatter_rec(big_p, *sbig, str_big, c, sc, str_c, bounds, v,
+                            0, 0, coff);
             }
         }
-    done:
-        int64_t oc = 0;
-        for (size_t d = 0; d < nd; d++) oc += k[d] * strc[d];
-        c[oc] = acc;
-        // advance output odometer
+        // advance the odometer over the small operand
         size_t d = nd;
         while (d > 0) {
             d--;
-            if (++k[d] < sc[d]) break;
-            k[d] = 0;
+            if (++idx[d] < (*ssmall)[d]) break;
+            idx[d] = 0;
         }
     }
 }
