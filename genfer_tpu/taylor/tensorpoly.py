@@ -405,7 +405,6 @@ class TaylorPoly:
     def taylor_polynomial(self, v: int, order: int):
         """reference: 360-378."""
         b = self.backend
-        assert v < self.num_vars() and order < self.len_of(v)
         if v >= self.ndim:
             if order == 0:
                 return self
@@ -442,7 +441,6 @@ class TaylorPoly:
         """n-th derivative wrt v, keeping the n! factor (reference: 453-481)."""
         b = self.backend
         T = b.scalar_cls
-        assert v < self.num_vars() and n < self.len_of(v)
         if v >= self.ndim:
             if n == 0:
                 return self
@@ -467,7 +465,6 @@ class TaylorPoly:
         """Coefficient extraction without the n! factor (reference: 484-509)."""
         b = self.backend
         T = b.scalar_cls
-        assert v < self.num_vars() and n < self.len_of(v)
         if v >= self.ndim:
             if n == 0:
                 return self
@@ -490,7 +487,6 @@ class TaylorPoly:
         """Monus: drop n leading coefficients of v, folding their sum into
         the new order-0 coefficient (reference: 511-536)."""
         b = self.backend
-        assert v < self.num_vars() and n < self.len_of(v)
         if v >= self.ndim:
             return self
         degrees = list(self.degrees_p1)

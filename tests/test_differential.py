@@ -1,0 +1,254 @@
+"""Randomized differential testing.
+
+Random finite-support SGCL programs are checked against an independent
+brute-force enumeration oracle (exact Fractions over all execution paths),
+in exact rational mode (must agree exactly) and in f64 mode (tolerance).
+This exercises the transformer/event semantics far beyond the golden corpus.
+"""
+
+import random
+from fractions import Fraction
+
+import pytest
+
+from genfer_tpu.lang import ast
+from genfer_tpu.lang.parser import parse_program
+
+
+# ----------------------------------------------------------------------
+# brute-force oracle: enumerate all paths with exact probabilities
+# ----------------------------------------------------------------------
+
+def _dist_pmf(dist, env):
+    """Return list of (value, Fraction prob) for finite discrete dists."""
+    def r(x):
+        return Fraction(x.numer, x.denom)
+
+    if isinstance(dist, ast.Bernoulli):
+        p = r(dist.p)
+        return [(0, 1 - p), (1, p)]
+    if isinstance(dist, ast.Binomial):
+        p = r(dist.p)
+        from math import comb
+
+        return [
+            (k, comb(dist.n, k) * p**k * (1 - p) ** (dist.n - k))
+            for k in range(dist.n + 1)
+        ]
+    if isinstance(dist, ast.BinomialVarTrials):
+        n = env[dist.var]
+        p = r(dist.p)
+        from math import comb
+
+        return [
+            (k, comb(n, k) * p**k * (1 - p) ** (n - k)) for k in range(n + 1)
+        ]
+    if isinstance(dist, ast.Categorical):
+        return [(i, r(q)) for i, q in enumerate(dist.rs)]
+    if isinstance(dist, ast.UniformDisc):
+        n = dist.end - dist.start
+        return [(k, Fraction(1, n)) for k in range(dist.start, dist.end)]
+    if isinstance(dist, ast.Dirac):
+        return [(dist.a.as_integer(), Fraction(1))]
+    if isinstance(dist, ast.BernoulliVarProb):
+        raise NotImplementedError
+    raise NotImplementedError(str(dist))
+
+
+def _event_holds(event, env):
+    if isinstance(event, ast.InSet):
+        return env[event.var] in event.set
+    if isinstance(event, ast.VarComparison):
+        a, b = env[event.v1], env[event.v2]
+        return {"=": a == b, "<": a < b, "<=": a <= b}[event.comp]
+    if isinstance(event, ast.Complement):
+        return not _event_holds(event.event, env)
+    if isinstance(event, ast.Intersection):
+        return all(_event_holds(e, env) for e in event.events)
+    if isinstance(event, ast.DataFromDist):
+        raise NotImplementedError
+    raise NotImplementedError(str(event))
+
+
+def brute_force(program):
+    """Unnormalized distribution of the result variable as
+    {value: Fraction}."""
+    n = program.used_vars()
+    states = {tuple([0] * n): Fraction(1)}
+
+    def run_block(stmts, states):
+        for stmt in stmts:
+            states = run_stmt(stmt, states)
+        return states
+
+    def run_stmt(stmt, states):
+        out = {}
+
+        def add(env, p):
+            if p:
+                out[env] = out.get(env, Fraction(0)) + p
+
+        if isinstance(stmt, ast.Sample):
+            for env, p in states.items():
+                for v, q in _dist_pmf(stmt.distribution, env):
+                    e = list(env)
+                    e[stmt.var] = (
+                        env[stmt.var] + v if stmt.add_previous_value else v
+                    )
+                    add(tuple(e), p * q)
+        elif isinstance(stmt, ast.Assign):
+            for env, p in states.items():
+                val = 0 if not stmt.add_previous_value else env[stmt.var]
+                if stmt.addend is not None:
+                    f, w = stmt.addend
+                    val += f * env[w]
+                val += stmt.offset
+                e = list(env)
+                e[stmt.var] = val
+                add(tuple(e), p)
+        elif isinstance(stmt, ast.Decrement):
+            for env, p in states.items():
+                e = list(env)
+                e[stmt.var] = max(0, env[stmt.var] - stmt.offset)
+                add(tuple(e), p)
+        elif isinstance(stmt, ast.IfThenElse):
+            then_states, else_states = {}, {}
+            for env, p in states.items():
+                (then_states if _event_holds(stmt.cond, env) else else_states)[
+                    env
+                ] = p
+            for env, p in run_block(stmt.then, then_states).items():
+                add(env, p)
+            for env, p in run_block(stmt.els, else_states).items():
+                add(env, p)
+        elif isinstance(stmt, ast.Fail):
+            pass  # all mass discarded
+        elif isinstance(stmt, ast.Normalize):
+            assert not stmt.given_vars
+            total_before = sum(states.values())
+            inner = run_block(stmt.stmts, states)
+            total_after = sum(inner.values())
+            scale = (
+                total_before / total_after if total_after else Fraction(0)
+            )
+            for env, p in inner.items():
+                add(env, p * scale)
+        else:
+            raise NotImplementedError(str(stmt))
+        return out
+
+    states = run_block(program.stmts, states)
+    dist = {}
+    for env, p in states.items():
+        v = env[program.result]
+        dist[v] = dist.get(v, Fraction(0)) + p
+    return dist
+
+
+# ----------------------------------------------------------------------
+# random program generator (finite supports only)
+# ----------------------------------------------------------------------
+
+def random_program(rng: random.Random) -> str:
+    names = ["A", "B"]
+    lines = [f"{v} := 0;" for v in names]
+
+    def ratio():
+        d = rng.choice([2, 3, 4, 5, 8])
+        n = rng.randrange(0, d + 1)
+        return f"{n}/{d}"
+
+    def dist():
+        c = rng.randrange(6)
+        if c == 0:
+            return f"Bernoulli({ratio()})"
+        if c == 1:
+            return f"Binomial({rng.randrange(1, 4)}, {ratio()})"
+        if c == 2:
+            ps = [rng.randrange(1, 4) for _ in range(rng.randrange(2, 4))]
+            tot = sum(ps)
+            return "Categorical(" + ", ".join(f"{p}/{tot}" for p in ps) + ")"
+        if c == 3:
+            a = rng.randrange(0, 3)
+            return f"UniformDisc({a}, {a + rng.randrange(1, 4)})"
+        if c == 4:
+            return f"Binomial({rng.choice(names)}, {ratio()})"
+        return f"Dirac({rng.randrange(0, 3)})"
+
+    def event():
+        c = rng.randrange(4)
+        v = rng.choice(names)
+        if c == 0:
+            vals = sorted(rng.sample(range(4), rng.randrange(1, 3)))
+            return f"{v} in [{', '.join(map(str, vals))}]"
+        if c == 1:
+            return f"{v} {rng.choice(['=', '<', '<=', '>', '>='])} {rng.randrange(0, 4)}"
+        if c == 2:
+            return f"{names[0]} {rng.choice(['=', '<', '<='])} {names[1]}"
+        return f"not ({v} = {rng.randrange(0, 3)})"
+
+    def stmt(depth):
+        c = rng.randrange(8)
+        v = rng.choice(names)
+        if c in (0, 1):
+            op = rng.choice(["~", "+~"])
+            return f"{v} {op} {dist()};"
+        if c == 2:
+            w = rng.choice(names)
+            return f"{v} := {rng.randrange(1, 3)} * {w} + {rng.randrange(0, 3)};"
+        if c == 3:
+            return f"{v} -= {rng.randrange(1, 3)};"
+        if c == 4 and depth < 2:
+            body = " ".join(stmt(depth + 1) for _ in range(rng.randrange(1, 3)))
+            els = (
+                " else { " + stmt(depth + 1) + " }"
+                if rng.random() < 0.5
+                else ""
+            )
+            return f"if {event()} {{ {body} }}{els}"
+        if c == 5:
+            return f"observe {event()};"
+        if c == 6:
+            return f"{v} += {rng.randrange(0, 3)};"
+        return f"{v} ~ {dist()};"
+
+    for _ in range(rng.randrange(3, 7)):
+        lines.append(stmt(0))
+    lines.append(f"return {rng.choice(names)};")
+    return "\n".join(lines)
+
+
+# ----------------------------------------------------------------------
+
+def _infer_dist(src, mode, limit):
+    from genfer_tpu import api
+
+    r = api.infer(src, mode=mode)
+    probs = r.probs(limit, normalized=False)
+    return r.total, probs
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_program_vs_bruteforce(seed):
+    rng = random.Random(seed)
+    src = random_program(rng)
+    program = parse_program(src)
+    oracle = brute_force(program)
+    limit = max(oracle) + 2 if oracle else 2
+    total_exact = sum(oracle.values())
+
+    # exact rational mode must agree exactly (probs are unnormalized)
+    total, probs = _infer_dist(src, "rational", limit)
+    assert total.frac == total_exact, f"Z mismatch\n{src}"
+    for k in range(limit):
+        expected = oracle.get(k, Fraction(0))
+        assert probs[k].frac == expected, (
+            f"p({k}) mismatch: {probs[k].frac} vs {expected}\n{src}"
+        )
+
+    # f64 mode within tolerance
+    total_f, probs_f = _infer_dist(src, "f64", limit)
+    assert abs(total_f.to_float() - float(total_exact)) < 1e-9, src
+    for k in range(limit):
+        expected = float(oracle.get(k, Fraction(0)))
+        assert abs(probs_f[k].to_float() - expected) < 1e-9, f"p({k})\n{src}"
