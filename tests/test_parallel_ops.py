@@ -97,6 +97,37 @@ def test_graft_dryrun_multichip():
     g.dryrun_multichip(8)
 
 
+def test_graft_dryrun_multichip_cold_subprocess():
+    """Run dryrun_multichip exactly as the driver does: a fresh process with
+    NO conftest env inheritance (no XLA_FLAGS, no jax_platforms override), so
+    the entry must self-provision the virtual 8-device CPU mesh."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "GENFER_CHECK")
+    }
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__ as g; g.dryrun_multichip(8)",
+        ],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout
+
+
 def test_native_seriesops():
     seriesops = pytest.importorskip("genfer_tpu._seriesops")
     a = np.random.RandomState(0).rand(64)
