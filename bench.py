@@ -7,14 +7,21 @@ Taylor-convolution kernel at order 256 (the hot op of every genfer
 inference run, reference multivariate_taylor.rs:984-1012) in effective
 GFLOP/s on the available accelerator.
 
-``vs_baseline`` is the speedup over the reference's scalar CPU kernel,
-whose cost model is one fused multiply-add per (i, j) coefficient pair;
-a single modern CPU core running the reference's nested scalar loops
-sustains ~1 GFLOP/s on this kernel (measured-by-construction estimate:
-2 flops/pair at ~0.5e9 pairs/s), which we use as the baseline constant.
+``vs_baseline`` is the measured speedup over this repo's native C++ host
+kernel (genfer_tpu/_seriesops, the same nested scalar loops the reference's
+Rust engine runs) on the identical shape.  No Rust toolchain exists in this
+image and the reference repo commits no wall-clock numbers
+(bench-results.json is not in the snapshot), so the native host kernel is
+the honest reproducible denominator.
 
-Run with --suite to additionally time end-to-end inference on the
-neurips2023 exact suite (results to stderr, not the JSON line).
+Extra modes (results to stderr + bench-results.json):
+  --suite    end-to-end wall-clock on the neurips2023 exact suite,
+             mirroring the reference protocol (reference
+             benchmarks/neurips2023/exact/bench.py:108-134): fp mode and
+             --rational mode per model, correctness checked against
+             ``<name>.expected`` (output must contain an expected string).
+  --scaling  end-to-end order-scaling run on a generated 2-var population
+             model per backend (hybrid offload vs numpy host).
 """
 
 from __future__ import annotations
@@ -23,9 +30,6 @@ import argparse
 import json
 import sys
 import time
-
-
-REFERENCE_KERNEL_GFLOPS = 1.0  # scalar Rust single-core estimate
 
 
 def flops_conv_trunc(a_shape, out_shape):
@@ -57,7 +61,6 @@ def bench_kernel(order=256, ndim=1, dtype="float64", iters=20):
     from genfer_tpu.taylor.backend import _conv_jit
 
     shape = (order,) * ndim
-    out_shape = tuple(min(2 * s - 1, s) for s in shape)  # truncated to order
     # distinct inputs per call so XLA cannot CSE repeated invocations
     xs = [
         jax.random.uniform(jax.random.PRNGKey(i), shape, dtype=dtype)
@@ -74,12 +77,37 @@ def bench_kernel(order=256, ndim=1, dtype="float64", iters=20):
     return flops / dt / 1e9, dt
 
 
-def bench_suite():
-    """End-to-end wall-clock on the neurips2023 exact suite, mirroring the
-    reference protocol (reference bench.py:108-134): FP mode on
-    ``<name>.sgcl``, rational mode on ``<name>.rational.sgcl`` when present
-    (else the same file), correctness checked against ``<name>.expected``
-    (output must contain one of the expected strings).  Results to stderr."""
+def bench_host_kernel(order=256, ndim=1, iters=3):
+    """The same truncated conv on the native C++ host kernel
+    (genfer_tpu/_seriesops) — the measured reference-class baseline."""
+    import numpy as np
+
+    try:
+        from genfer_tpu import _seriesops
+    except ImportError:
+        return None, None
+    shape = (order,) * ndim
+    rng = np.random.RandomState(0)
+    a = rng.rand(*shape)
+    b = rng.rand(*shape)
+    out = np.zeros(shape)
+    # warm-up
+    _seriesops.conv_trunc(a, shape, b, shape, out, shape)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out.fill(0.0)
+        _seriesops.conv_trunc(a, shape, b, shape, out, shape)
+    dt = (time.perf_counter() - t0) / iters
+    flops = flops_conv_trunc(shape, shape)
+    return flops / dt / 1e9, dt
+
+
+def bench_suite(num_runs=1):
+    """End-to-end wall-clock on the neurips2023 exact suite.  Mirrors the
+    reference protocol: fp on ``<name>.sgcl``, rational on
+    ``<name>.rational.sgcl`` when present (else the same file), no extra
+    flags (the ``.expected`` oracle greps probability/posterior lines from
+    the full output).  Returns {model: {mode: seconds | error label}}."""
     import io
     import os
     from contextlib import redirect_stdout
@@ -91,25 +119,40 @@ def bench_suite():
         return None
     from genfer_tpu.cli import main as cli_main
 
-    def run_one(path, flags):
-        t0 = time.perf_counter()
-        buf = io.StringIO()
-        try:
-            with redirect_stdout(buf):
-                cli_main([str(path), "--no-timing"] + flags)
-        except Exception as e:
-            return None, f"crashed: {e}"
-        dt = time.perf_counter() - t0
-        expected_file = path.parent / (path.parent.name + ".expected")
-        if expected_file.exists():
-            expected = [
-                e for e in expected_file.read_text().splitlines() if e.strip()
-            ]
-            out = buf.getvalue()
-            if not any(e in out for e in expected):
-                return dt, "wrong result"
-        return dt, None
+    # Models on which the *reference itself* fails in a mode: parity, not a
+    # regression.  clinicalTrial fp: f64 rounding pushes a probability
+    # outside [0, 1] and the reference panics "p(i) = ... is not a
+    # probability" (reference src/main.rs:430-433).
+    expected_failures = {
+        ("clinicalTrial", "fp"): "is not a probability",
+    }
 
+    def run_one(path, flags):
+        best = None
+        err = None
+        for _ in range(num_runs):
+            t0 = time.perf_counter()
+            buf = io.StringIO()
+            try:
+                with redirect_stdout(buf):
+                    cli_main([str(path), "--no-timing"] + flags)
+            except Exception as e:  # noqa: BLE001 - report any failure
+                return None, f"crashed: {e}"
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            expected_file = path.parent / (path.parent.name + ".expected")
+            if expected_file.exists():
+                expected = [
+                    e
+                    for e in expected_file.read_text().splitlines()
+                    if e.strip()
+                ]
+                out = buf.getvalue()
+                if not any(e in out for e in expected):
+                    err = "wrong result"
+        return best, err
+
+    results = {}
     total = 0.0
     n = 0
     for model_dir in sorted(p for p in suite.iterdir() if p.is_dir()):
@@ -117,40 +160,43 @@ def bench_suite():
         fp = model_dir / f"{name}.sgcl"
         if not fp.exists():
             continue
-        dt, err = run_one(fp, [])
-        msg = f"{dt:.3f}s" if dt is not None else "-"
-        if err:
-            msg += f" ({err})"
-        else:
-            total += dt
-            n += 1
-        print(f"  {name} [fp]: {msg}", file=sys.stderr)
-        rational = model_dir / f"{name}.rational.sgcl"
-        if not rational.exists():
-            rational = fp
-        # pure-Python exact rationals are too slow for the data-heavy
-        # models (native GMP-backed kernels are future work); bound by
-        # program size
-        from genfer_tpu.lang.parser import parse_program
-
-        if parse_program(rational.read_text()).size() > 400:
-            print(f"  {name} [rational]: skipped (large model, "
-                  "pure-Python rationals)", file=sys.stderr)
-            continue
-        dt, err = run_one(rational, ["--rational", "--no-probs"])
-        msg = f"{dt:.3f}s" if dt is not None else "-"
-        if err:
-            msg += f" ({err})"
-        print(f"  {name} [rational]: {msg}", file=sys.stderr)
+        results[name] = {}
+        for mode, path, flags in (
+            ("fp", fp, []),
+            (
+                "rational",
+                (model_dir / f"{name}.rational.sgcl")
+                if (model_dir / f"{name}.rational.sgcl").exists()
+                else fp,
+                ["--rational"],
+            ),
+        ):
+            dt, err = run_one(path, flags)
+            if dt is None and (name, mode) in expected_failures:
+                msg = "expected failure (parity: reference also panics here)"
+                results[name][mode] = msg
+            elif err:
+                msg = f"{dt:.3f}s ({err})"
+                results[name][mode] = msg
+            elif dt is None:
+                msg = "crashed"
+                results[name][mode] = msg
+            else:
+                msg = f"{dt:.3f}s"
+                results[name][mode] = round(dt, 4)
+                if mode == "fp":
+                    total += dt
+                    n += 1
+            print(f"  {name} [{mode}]: {msg}", file=sys.stderr)
     print(f"suite total ({n} fp models passing): {total:.3f}s", file=sys.stderr)
-    return total
+    return results
 
 
 def bench_order_scaling(limit=256, backends=("hybrid", "numpy")):
     """End-to-end inference on a 2-variable population model at high
     truncation order (the BASELINE.json north-star configuration), per
     backend.  The numpy backend is the host/CPU-class baseline (same
-    asymptotics as the reference's native engine, C kernels); hybrid
+    asymptotics as the reference's native engine, C++ kernels); hybrid
     offloads the large Cauchy products to the accelerator."""
     import io
     from contextlib import redirect_stdout
@@ -175,13 +221,14 @@ def bench_order_scaling(limit=256, backends=("hybrid", "numpy")):
                         path, "--no-timing", "--limit", str(limit),
                         "--backend", backend,
                     ])
-                results[backend] = time.perf_counter() - t0
+                results[backend] = round(time.perf_counter() - t0, 3)
                 print(
                     f"  order-scaling limit={limit} [{backend}]: "
                     f"{results[backend]:.2f}s",
                     file=sys.stderr,
                 )
-            except Exception as e:
+            except Exception as e:  # noqa: BLE001
+                results[backend] = f"FAILED {e}"
                 print(f"  order-scaling [{backend}]: FAILED {e}",
                       file=sys.stderr)
     finally:
@@ -203,18 +250,41 @@ def main():
         f"{gflops:.2f} GFLOP/s",
         file=sys.stderr,
     )
+    host_gflops, host_dt = bench_host_kernel(order=args.order, ndim=args.ndim)
+    if host_gflops is not None:
+        print(
+            f"conv_trunc host (native C++): {host_dt*1e3:.3f} ms, "
+            f"{host_gflops:.2f} GFLOP/s",
+            file=sys.stderr,
+        )
+    extra = {}
     if args.suite:
-        bench_suite()
+        extra["suite"] = bench_suite()
     if args.scaling:
-        bench_order_scaling()
+        extra["scaling"] = bench_order_scaling()
+    if extra:
+        import pathlib
+
+        out = {
+            "kernel_gflops": round(gflops, 3),
+            "host_kernel_gflops": (
+                round(host_gflops, 3) if host_gflops is not None else None
+            ),
+            **extra,
+        }
+        pathlib.Path("bench-results.json").write_text(
+            json.dumps(out, indent=2) + "\n"
+        )
+        print("wrote bench-results.json", file=sys.stderr)
+    vs = gflops / host_gflops if host_gflops else gflops
     print(
         json.dumps(
             {
                 "metric": f"taylor-conv GFLOP/s @order {args.order} "
-                f"({args.ndim}-var, f64)",
+                f"({args.ndim}-var, f64; baseline = native C++ host kernel)",
                 "value": round(gflops, 3),
                 "unit": "GFLOP/s",
-                "vs_baseline": round(gflops / REFERENCE_KERNEL_GFLOPS, 3),
+                "vs_baseline": round(vs, 3),
             }
         )
     )

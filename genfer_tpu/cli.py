@@ -153,6 +153,9 @@ def main(argv=None):
 
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(1_000_000)
+    # exact-mode results can have numerators with millions of digits
+    # (the reference prints GMP rationals unboundedly, main.rs:254-266)
+    sys.set_int_max_str_digits(0)
     try:
         threading.stack_size(512 * 1024 * 1024)
         t = threading.Thread(target=work)

@@ -24,6 +24,21 @@ from typing import Optional
 
 from .format import format_f64
 
+try:  # GMP/MPFR-backed scalars (built by native/build.py); optional
+    from .. import _exactops as _XO
+except ImportError:  # pragma: no cover - fallback when not built
+    _XO = None
+
+
+def _FRAC(n, d=None):
+    """Make an exact rational value: GMP ``mpq`` when the native extension
+    is available (reference uses rug::Rational, src/number/rational.rs:1-16),
+    else ``fractions.Fraction``."""
+    if _XO is not None:
+        return _XO.mpq(n) if d is None else _XO.mpq(n, d)
+    return Fraction(n) if d is None else Fraction(n, d)
+
+
 __all__ = [
     "F64",
     "BigFloat",
@@ -429,13 +444,18 @@ _NEG_INF = "NegInf"
 class Rational(_NumberBase):
     __slots__ = ("frac", "special")
 
-    def __init__(self, frac: Optional[Fraction], special: Optional[str] = None):
+    def __init__(self, frac, special: Optional[str] = None):
+        # `frac` is an mpq when the native extension is loaded, else a
+        # Fraction; a single representation per process keeps equality and
+        # hashing coherent, so coerce stray Fractions here.
+        if _XO is not None and type(frac) is Fraction:
+            frac = _XO.mpq(frac)
         self.frac = frac
         self.special = special
 
     @classmethod
     def from_frac(cls, n, d=1):
-        return cls(Fraction(n, d))
+        return cls(_FRAC(n, d))
 
     @classmethod
     def not_a_rational(cls):
@@ -453,21 +473,21 @@ class Rational(_NumberBase):
 
     @classmethod
     def zero(cls):
-        return cls(Fraction(0))
+        return cls(_FRAC(0))
 
     @classmethod
     def one(cls):
-        return cls(Fraction(1))
+        return cls(_FRAC(1))
 
     @classmethod
     def from_u32(cls, n: int):
-        return cls(Fraction(n))
+        return cls(_FRAC(n))
 
     @classmethod
     def from_ratio(cls, numerator: int, denominator: int):
         if denominator == 0:
             return cls.infinity() if numerator > 0 else cls.not_a_rational()
-        return cls(Fraction(numerator, denominator))
+        return cls(_FRAC(numerator, denominator))
 
     def is_zero(self):
         return self.frac is not None and self.frac == 0
@@ -484,8 +504,28 @@ class Rational(_NumberBase):
     def is_infinite(self):
         return self.special in (_POS_INF, _NEG_INF)
 
+    # The object-array backend stores raw payloads (mpq/Fraction) and only
+    # wraps specials in Rational; mixed payload/wrapper arithmetic lands
+    # here via the reflected dunders, so coerce the other operand.
+    @staticmethod
+    def _coerce(other):
+        return other if isinstance(other, Rational) else Rational(other)
+
+    def __radd__(self, other):
+        return Rational._coerce(other) + self
+
+    def __rmul__(self, other):
+        return Rational._coerce(other) * self
+
+    def __rtruediv__(self, other):
+        return Rational._coerce(other) / self
+
+    def __rsub__(self, other):
+        return Rational._coerce(other) + (-self)
+
     def __add__(self, other):
         # reference: rational.rs (Add impl)
+        other = Rational._coerce(other)
         if self.frac is not None and other.frac is not None:
             return Rational(self.frac + other.frac)
         a, b = self.special, other.special
@@ -496,6 +536,7 @@ class Rational(_NumberBase):
         return Rational(None, a if a is not None else b)
 
     def __mul__(self, other):
+        other = Rational._coerce(other)
         if self.frac is not None and other.frac is not None:
             return Rational(self.frac * other.frac)
         a, b = self.special, other.special
@@ -513,6 +554,7 @@ class Rational(_NumberBase):
 
     def __truediv__(self, other):
         # reference: rational.rs Div
+        other = Rational._coerce(other)
         if self.frac is not None and other.frac is not None:
             if other.frac == 0:
                 if self.frac == 0:
@@ -589,6 +631,9 @@ class Rational(_NumberBase):
             return Rational.zero()
         if self.frac < 0:
             return Rational.not_a_rational()
+        if _XO is not None:
+            r = self.frac.sqrt_exact()
+            return Rational(r) if r is not None else Rational.not_a_rational()
         n, d = self.frac.numerator, self.frac.denominator
         sn, sd = math.isqrt(n), math.isqrt(d)
         if sn * sn == n and sd * sd == d:
@@ -676,9 +721,9 @@ class Rational(_NumberBase):
 
     def display(self) -> str:
         if self.frac is not None:
-            if self.frac.denominator == 1:
-                return str(self.frac.numerator)
-            return f"{self.frac.numerator}/{self.frac.denominator}"
+            # str() of both Fraction and mpq is "p" or "p/q"; mpq formats
+            # huge numerators via GMP (CPython int->str is quadratic)
+            return str(self.frac)
         if self.special == _POS_INF:
             return "∞"
         if self.special == _NEG_INF:
@@ -701,6 +746,8 @@ def set_precision(bits: int) -> None:
 
     _PRECISION_BITS[0] = bits
     mpmath.mp.prec = bits
+    if _XO is not None:
+        _XO.set_precision(bits)
 
 
 def get_precision() -> int:
@@ -855,6 +902,134 @@ class MultiPrec(_NumberBase):
             return "inf" if self.v > 0 else "-inf"
         digits = max(1, int(get_precision() * 0.30103) + 1)
         return mpmath.nstr(self.v, digits, strip_zeros=True)
+
+
+class _MultiPrecMpfr(_NumberBase):
+    """MPFR-backed arbitrary-precision float (native _exactops extension);
+    drop-in for the mpmath-backed MultiPrec above and ~50x faster, matching
+    the reference's rug::Float (src/number/multi_precision.rs)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v if type(v) is _XO.mpfr else _XO.mpfr(v)
+
+    @classmethod
+    def zero(cls):
+        return cls(_XO.mpfr(0))
+
+    @classmethod
+    def one(cls):
+        return cls(_XO.mpfr(1))
+
+    @classmethod
+    def from_u32(cls, n: int):
+        return cls(_XO.mpfr(n))
+
+    @classmethod
+    def from_ratio(cls, numerator: int, denominator: int):
+        if denominator == 0:
+            return cls(_XO.mpfr(math.inf))
+        # one correctly-rounded conversion of the exact ratio
+        return cls(_XO.mpfr(_XO.mpq(numerator, denominator)))
+
+    @classmethod
+    def nan(cls):
+        return cls(_XO.mpfr(math.nan))
+
+    @classmethod
+    def infinity(cls):
+        return cls(_XO.mpfr(math.inf))
+
+    def is_zero(self):
+        return self.v == 0
+
+    def is_one(self):
+        return self.v == 1
+
+    def is_finite(self):
+        return self.v.is_finite()
+
+    def is_nan(self):
+        return self.v.is_nan()
+
+    def is_infinite(self):
+        return self.v.is_inf()
+
+    def __add__(self, other):
+        return _MultiPrecMpfr(self.v + other.v)
+
+    def __mul__(self, other):
+        return _MultiPrecMpfr(self.v * other.v)
+
+    def __truediv__(self, other):
+        if other.v == 0:
+            if self.v == 0:
+                return _MultiPrecMpfr(_XO.mpfr(math.nan))
+            return _MultiPrecMpfr(
+                _XO.mpfr(math.inf if self.v > 0 else -math.inf)
+            )
+        return _MultiPrecMpfr(self.v / other.v)
+
+    def __neg__(self):
+        return _MultiPrecMpfr(-self.v)
+
+    def exp(self):
+        return _MultiPrecMpfr(self.v.exp())
+
+    def log(self):
+        return _MultiPrecMpfr(self.v.log())
+
+    def pow_u32(self, n: int):
+        return _MultiPrecMpfr(self.v**n)
+
+    def sqrt(self):
+        return _MultiPrecMpfr(self.v.sqrt())
+
+    def maximum(self, other):
+        return self if self.v > other.v else other
+
+    def minimum(self, other):
+        return self if self.v < other.v else other
+
+    def abs_(self):
+        return _MultiPrecMpfr(abs(self.v))
+
+    def next_up(self):
+        return _MultiPrecMpfr(self.v.next_up())
+
+    def next_down(self):
+        return _MultiPrecMpfr(self.v.next_down())
+
+    def __eq__(self, other):
+        return isinstance(other, _MultiPrecMpfr) and self.v == other.v
+
+    def __lt__(self, other):
+        return self.v < other.v
+
+    def __le__(self, other):
+        return self.v <= other.v
+
+    def __gt__(self, other):
+        return self.v > other.v
+
+    def __ge__(self, other):
+        return self.v >= other.v
+
+    def __hash__(self):
+        return hash(("MultiPrec", self.v))
+
+    def to_float(self) -> float:
+        return float(self.v)
+
+    def display(self) -> str:
+        digits = max(1, int(get_precision() * 0.30103) + 1)
+        return self.v.digits(digits)
+
+
+_MultiPrecMpmath = MultiPrec
+if _XO is not None:
+    MultiPrec = _MultiPrecMpfr
 
 
 def _mp_nextafter(x, direction: int):

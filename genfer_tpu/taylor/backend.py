@@ -259,26 +259,76 @@ class Backend:
 
 
 # ===================================================================
-# Object backend: numpy object arrays of host scalars
+# Object backend: numpy object arrays of exact payloads
 # ===================================================================
 
 class ObjectBackend(Backend):
+    """Exact-mode backend over numpy object arrays.
+
+    Array elements are raw *payloads*, not scalar-tower wrappers: GMP
+    ``mpq`` (or ``Fraction``) for Rational, native ``mpfr`` for MultiPrec.
+    This keeps the hot elementwise arithmetic at C speed (the payload
+    dunders) and lets the native _exactops kernels consume the arrays
+    without per-element unwrap/rewrap.  The rare non-finite Rational
+    values (NaR/±∞) are stored as Rational wrapper elements; mixed
+    payload/wrapper arithmetic resolves through Rational's reflected
+    dunders.  Scalar classes without a payload form (BigFloat, Interval,
+    mpmath MultiPrec, F64) store their wrapper objects directly.
+    """
+
     def __init__(self, scalar_cls):
         self.scalar_cls = scalar_cls
+        from ..numbers.scalar import _XO, MultiPrec, Rational
+
+        if scalar_cls is Rational:
+            self._mode = "rational"
+        elif _XO is not None and scalar_cls is MultiPrec:
+            self._mode = "mpfr"
+        else:
+            self._mode = "wrapper"
+        self._zero = self._lower(scalar_cls.zero())
+
+    # ---- payload <-> host-scalar conversion --------------------------
+    def _lower(self, x):
+        """Host scalar (or payload) -> array element."""
+        if self._mode == "rational":
+            from ..numbers.scalar import Rational
+
+            if isinstance(x, Rational):
+                return x.frac if x.frac is not None else x
+            return x
+        if self._mode == "mpfr":
+            from ..numbers.scalar import MultiPrec
+
+            return x.v if isinstance(x, MultiPrec) else x
+        return x
+
+    def _lift(self, x):
+        """Array element -> host scalar."""
+        if self._mode == "rational":
+            from ..numbers.scalar import Rational
+
+            return x if isinstance(x, Rational) else Rational(x)
+        if self._mode == "mpfr":
+            from ..numbers.scalar import MultiPrec
+
+            return x if isinstance(x, MultiPrec) else MultiPrec(x)
+        return x
 
     def scalar(self, x):
         a = np.empty((), dtype=object)
-        a[()] = x
+        a[()] = self._lower(x)
         return a
 
     def to_host(self, arr0d):
-        return arr0d[()] if isinstance(arr0d, np.ndarray) else arr0d
+        v = arr0d[()] if isinstance(arr0d, np.ndarray) else arr0d
+        return self._lift(v)
 
     def from_nested(self, nested):
         def build(n):
             if isinstance(n, (list, tuple)):
                 return [build(x) for x in n]
-            return n
+            return self._lower(n)
 
         return np.array(build(nested), dtype=object)
 
@@ -287,7 +337,7 @@ class ObjectBackend(Backend):
 
     def zeros(self, shape):
         a = np.empty(_norm_shape(shape), dtype=object)
-        a.fill(self.scalar_cls.zero())
+        a.fill(self._zero)
         return a
 
     def reshape(self, arr, shape):
@@ -334,90 +384,258 @@ class ObjectBackend(Backend):
             b = b[()]
         return np.frompyfunc(op, 2, 1)(a, b)
 
+    def _ew_native(self, opcode, a, b):
+        """Native elementwise binary op on payload arrays (C++ walks the
+        buffers); None when unavailable or a special element is present."""
+        from ..numbers.scalar import _XO
+
+        if _XO is None or self._mode == "wrapper":
+            return None
+        if a.ndim == 0 and b.ndim == 0:
+            return None
+        out_shape = np.broadcast_shapes(a.shape, b.shape)
+        av = np.broadcast_to(a, out_shape)
+        bv = np.broadcast_to(b, out_shape)
+        out = np.empty(out_shape, dtype=object)
+        fn = _XO.ew_mpq if self._mode == "rational" else _XO.ew_mpfr
+        if fn(opcode, av, bv, out):
+            return out
+        return None
+
     def add(self, a, b):
+        r = self._ew_native(0, a, b)
+        if r is not None:
+            return r
         return self._ew(lambda x, y: x + y, a, b)
+
+    def sub(self, a, b):
+        r = self._ew_native(1, a, b)
+        if r is not None:
+            return r
+        return self.add(a, self.neg(b))
 
     def neg(self, a):
         if a.ndim == 0:
             return self.scalar(-a[()])
+        from ..numbers.scalar import _XO
+
+        if _XO is not None and self._mode != "wrapper":
+            out = np.empty(a.shape, dtype=object)
+            fn = (
+                _XO.ew_neg_mpq
+                if self._mode == "rational"
+                else _XO.ew_neg_mpfr
+            )
+            if fn(a, out):
+                return out
         return np.frompyfunc(lambda x: -x, 1, 1)(a)
 
     def mul(self, a, b):
+        r = self._ew_native(2, a, b)
+        if r is not None:
+            return r
         return self._ew(lambda x, y: x * y, a, b)
 
+    def scale_axis(self, arr, axis, factors):
+        # one vectorized multiply instead of the generic per-slice loop
+        f = np.empty(len(factors), dtype=object)
+        for i, x in enumerate(factors):
+            f[i] = self._lower(x)
+        shape = [1] * arr.ndim
+        shape[axis] = len(factors)
+        return self.mul(arr, f.reshape(shape))
+
     def div(self, a, b):
+        # Division needs the wrapper semantics for zero divisors (x/0 is
+        # ±∞/NaR for Rational, multi_precision.rs-style inf/nan for
+        # MultiPrec), so route each element pair through the scalar tower
+        # unless both payloads are safely divisible.
+        if self._mode == "rational":
+            from ..numbers.scalar import Rational
+
+            def dv(x, y):
+                if (
+                    not isinstance(y, Rational)
+                    and not isinstance(x, Rational)
+                    and y != 0
+                ):
+                    return x / y
+                return self._lower(self._lift(x) / self._lift(y))
+
+            return self._ew(dv, a, b)
+        if self._mode == "mpfr":
+            def dv(x, y):
+                if y != 0:
+                    return x / y
+                return self._lower(self._lift(x) / self._lift(y))
+
+            return self._ew(dv, a, b)
         return self._ew(lambda x, y: x / y, a, b)
 
     def exp_el(self, a):
-        return _obj_ufunc(lambda x: x.exp())(a)
+        if self._mode == "mpfr":
+            return _obj_ufunc(lambda x: x.exp())(a)
+        return _obj_ufunc(lambda x: self._lower(self._lift(x).exp()))(a)
 
     def log_el(self, a):
-        return _obj_ufunc(lambda x: x.log())(a)
+        if self._mode == "mpfr":
+            # mpfr_log already gives log(0) = -inf, log(<0) = NaN, which is
+            # exactly MultiPrec.log's branching
+            return _obj_ufunc(lambda x: x.log())(a)
+        return _obj_ufunc(lambda x: self._lower(self._lift(x).log()))(a)
 
     # ---- optimized kernels -------------------------------------------
     # The generic recursion over numpy object arrays pays enormous
-    # per-index overhead; run the Cauchy product over flat Python lists
-    # instead, with a common-denominator integer fast path for exact
+    # per-index overhead.  With the native _exactops extension (GMP/MPFR)
+    # the four power-series kernels run in C++ directly on the mpq/mpfr
+    # payloads; the fallbacks below run the Cauchy product over flat
+    # Python lists with a common-denominator integer fast path for exact
     # rationals (one gcd per output element instead of one per op).
+    @staticmethod
+    def _fill(out_shape, values):
+        out = np.empty(out_shape, dtype=object)
+        flat = out.reshape(-1)
+        for i, v in enumerate(values):
+            flat[i] = v
+        return out
+
+    def _all_payload(self, flat):
+        """True when no element is a special-wrapper (rational mode) or a
+        non-finite value (mpfr mode)."""
+        if self._mode == "rational":
+            from ..numbers.scalar import Rational
+
+            return not any(isinstance(x, Rational) for x in flat)
+        if self._mode == "mpfr":
+            return all(x.is_finite() for x in flat)
+        return False
+
     def conv_trunc(self, a, b, out_shape):
         out_shape = _norm_shape(out_shape)
-        nd = len(out_shape)
         if a.size == 1 and b.size == 1:
             return self._conv_generic(a, b, out_shape)
         sa = tuple(int(x) for x in a.shape)
         sb = tuple(int(x) for x in b.shape)
         af = a.reshape(-1).tolist()
         bf = b.reshape(-1).tolist()
-        T = self.scalar_cls
-        from ..numbers.scalar import Rational
+        from ..numbers.scalar import _XO
 
-        if T is Rational and all(
-            x.frac is not None for x in af
-        ) and all(x.frac is not None for x in bf):
+        if (
+            self._mode == "rational"
+            and self._all_payload(af)
+            and self._all_payload(bf)
+        ):
+            if _XO is not None:
+                return self._fill(
+                    out_shape, _XO.conv_mpq(af, sa, bf, sb, out_shape)
+                )
+            # Fraction fallback: common-denominator integer convolution
             import math as _math
             from fractions import Fraction
 
-            da = _math.lcm(*(x.frac.denominator for x in af)) if af else 1
-            db = _math.lcm(*(x.frac.denominator for x in bf)) if bf else 1
-            ai = [x.frac.numerator * (da // x.frac.denominator) for x in af]
-            bi = [x.frac.numerator * (db // x.frac.denominator) for x in bf]
-            zero = 0
-            ci = _flat_conv(ai, sa, bi, sb, out_shape, zero)
+            da = _math.lcm(*(x.denominator for x in af)) if af else 1
+            db = _math.lcm(*(x.denominator for x in bf)) if bf else 1
+            ai = [x.numerator * (da // x.denominator) for x in af]
+            bi = [x.numerator * (db // x.denominator) for x in bf]
+            ci = _flat_conv(ai, sa, bi, sb, out_shape, 0)
             den = da * db
-            out = np.empty(out_shape, dtype=object)
-            flat = out.reshape(-1)
-            for i, v in enumerate(ci):
-                flat[i] = Rational(Fraction(v, den))
-            return out
-        from ..numbers.scalar import MultiPrec, get_precision
+            return self._fill(
+                out_shape, [Fraction(v, den) for v in ci]
+            )
+        if self._mode == "mpfr" and self._all_payload(af) and self._all_payload(bf):
+            # finite-only: the C++ scatter skips zero coefficients, which
+            # would lose 0*inf = NaN propagation on non-finite inputs
+            return self._fill(
+                out_shape, _XO.conv_mpfr(af, sa, bf, sb, out_shape)
+            )
+        if self._mode == "wrapper":
+            from ..numbers.scalar import (
+                MultiPrec,
+                _MultiPrecMpmath,
+                get_precision,
+            )
 
-        if T is MultiPrec:
-            import mpmath
-            from mpmath.libmp import from_man_exp
+            if self.scalar_cls is _MultiPrecMpmath:
+                import mpmath
+                from mpmath.libmp import from_man_exp
 
-            if all(mpmath.isfinite(x.v) for x in af) and all(
-                mpmath.isfinite(x.v) for x in bf
-            ):
-                ok, ai, ea = _mpf_to_scaled_ints([x.v for x in af])
-                if ok:
-                    ok, bi, eb = _mpf_to_scaled_ints([x.v for x in bf])
+                if all(mpmath.isfinite(x.v) for x in af) and all(
+                    mpmath.isfinite(x.v) for x in bf
+                ):
+                    ok, ai, ea = _mpf_to_scaled_ints([x.v for x in af])
                     if ok:
-                        ci = _flat_conv(ai, sa, bi, sb, out_shape, 0)
-                        prec = get_precision()
-                        out = np.empty(out_shape, dtype=object)
-                        flat = out.reshape(-1)
-                        for i, v in enumerate(ci):
-                            flat[i] = MultiPrec(
-                                mpmath.mpf(from_man_exp(v, ea + eb, prec, "n"))
-                            )
-                        return out
-        zero = T.zero()
-        cf = _flat_conv(af, sa, bf, sb, out_shape, zero)
-        out = np.empty(out_shape, dtype=object)
-        flat = out.reshape(-1)
-        for i, v in enumerate(cf):
-            flat[i] = v
-        return out
+                        ok, bi, eb = _mpf_to_scaled_ints([x.v for x in bf])
+                        if ok:
+                            ci = _flat_conv(ai, sa, bi, sb, out_shape, 0)
+                            prec = get_precision()
+                            return self._fill(out_shape, [
+                                self.scalar_cls(
+                                    mpmath.mpf(
+                                        from_man_exp(v, ea + eb, prec, "n")
+                                    )
+                                )
+                                for v in ci
+                            ])
+        zero = self._zero
+        return self._fill(
+            out_shape, _flat_conv(af, sa, bf, sb, out_shape, zero)
+        )
+
+    # power-series division / exp / log on the native exact payloads
+    # (reference recurrences: multivariate_taylor.rs:1162-1386); fall back
+    # to the generic per-element recursions on specials
+    def poly_div(self, xs, ys, out_shape):
+        out_shape = _norm_shape(out_shape)
+        from ..numbers.scalar import _XO
+
+        if _XO is not None and xs.size and ys.size:
+            xf = xs.reshape(-1).tolist()
+            yf = ys.reshape(-1).tolist()
+            sxs = tuple(int(s) for s in xs.shape)
+            sys_ = tuple(int(s) for s in ys.shape)
+            if (
+                self._mode == "rational"
+                and self._all_payload(xf)
+                and self._all_payload(yf)
+            ):
+                try:
+                    cf = _XO.div_mpq(xf, sxs, yf, sys_, out_shape)
+                except ZeroDivisionError:
+                    return self._div_generic(xs, ys, out_shape)
+                return self._fill(out_shape, cf)
+            if (
+                self._mode == "mpfr"
+                and self._all_payload(xf)
+                and self._all_payload(yf)
+            ):
+                return self._fill(
+                    out_shape, _XO.div_mpfr(xf, sxs, yf, sys_, out_shape)
+                )
+        return self._div_generic(xs, ys, out_shape)
+
+    def poly_exp(self, xs, out_shape):
+        out_shape = _norm_shape(out_shape)
+        from ..numbers.scalar import _XO
+
+        if self._mode == "mpfr" and xs.size:
+            xf = xs.reshape(-1).tolist()
+            if self._all_payload(xf):
+                return self._fill(out_shape, _XO.exp_mpfr(
+                    xf, tuple(int(s) for s in xs.shape), out_shape
+                ))
+        return self._exp_generic(xs, out_shape)
+
+    def poly_log(self, xs, out_shape):
+        out_shape = _norm_shape(out_shape)
+        from ..numbers.scalar import _XO
+
+        if self._mode == "mpfr" and xs.size:
+            xf = xs.reshape(-1).tolist()
+            if self._all_payload(xf) and xf[0] > 0:
+                return self._fill(out_shape, _XO.log_mpfr(
+                    xf, tuple(int(s) for s in xs.shape), out_shape
+                ))
+        return self._log_generic(xs, out_shape)
 
 
 def _mpf_to_scaled_ints(values, max_shift_bits: int = 200_000):

@@ -44,18 +44,30 @@ def _collect():
     dirs = list(TEST_DIRS)
     if os.environ.get("RUN_SLOW_TESTS"):
         dirs += SLOW_DIRS
+    missing = []
     for d in dirs:
         root = REFERENCE / d
         if not root.exists():
+            missing.append(d)
             continue
         for sgcl in sorted(root.rglob("*.sgcl")):
             expect = sgcl.with_suffix(".expect")
             if expect.exists():
                 cases.append(sgcl)
-    return cases
+    return cases, missing
 
 
-CASES = _collect()
+CASES, _MISSING_DIRS = _collect()
+
+
+def test_corpus_present():
+    """A missing reference mount must fail loudly, not fake green by
+    collecting zero cases."""
+    assert not _MISSING_DIRS, (
+        f"golden corpus directories missing under {REFERENCE}: "
+        f"{_MISSING_DIRS} — set GENFER_REFERENCE or mount the corpus"
+    )
+    assert len(CASES) >= 150, f"only {len(CASES)} golden cases collected"
 
 _NUM_RE = re.compile(
     r"-?\d+\.\d+e-?\d+|-?\d+e-?\d+|-?\d+\.\d+|-?\d+/\d+|-?\d+|-?inf|NaN|∞|-∞"
