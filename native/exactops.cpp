@@ -1109,18 +1109,17 @@ static void qdiv_rec(const __mpq_struct* const* xs, const Shape& sxs,
             }
         }
         long lo = std::max<long>(0, k + 1 - lys);
-        for (long j = lo; j < k; j++) {
-            // acc -= res[j] conv ys[k-j]  == cur += -(res[j] conv ys[k-j])
-            for (long i = 0; i < rest_total; i++)
-                ptrs[(size_t)i] = &out[j * rest_total + i];
-            const __mpq_struct* const* yrow_base = nullptr;
-            for (long i = 0; i < resty_total; i++)
-                yslice[(size_t)i] = ys[(k - j) * resty_total + i];
-            (void)yrow_base;
-            // accumulate the negated product: conv into a scratch then sub
+        if (lo < k) {
+            // acc = sum_j res[j] conv ys[k-j]; cur -= acc
             MpqArray scratch((size_t)rest_total);
-            qconv_scatter(ptrs.data(), rest, yslice.data(), resty,
-                          scratch[(size_t)0], rest, tmp);
+            for (long j = lo; j < k; j++) {
+                for (long i = 0; i < rest_total; i++)
+                    ptrs[(size_t)i] = &out[j * rest_total + i];
+                for (long i = 0; i < resty_total; i++)
+                    yslice[(size_t)i] = ys[(k - j) * resty_total + i];
+                qconv_scatter(ptrs.data(), rest, yslice.data(), resty,
+                              scratch[(size_t)0], rest, tmp);
+            }
             for (long i = 0; i < rest_total; i++)
                 mpq_sub(cur[(size_t)i], cur[(size_t)i], scratch[(size_t)i]);
         }
@@ -1321,14 +1320,16 @@ static void fdiv_rec(const __mpfr_struct* const* xs, const Shape& sxs,
                 mpfr_set(cur[(size_t)embed[(size_t)i]], xrow[i], MPFR_RNDN);
         }
         long lo = std::max<long>(0, k + 1 - lys);
-        for (long j = lo; j < k; j++) {
-            for (long i = 0; i < rest_total; i++)
-                ptrs[(size_t)i] = &out[j * rest_total + i];
-            for (long i = 0; i < resty_total; i++)
-                yslice[(size_t)i] = ys[(k - j) * resty_total + i];
+        if (lo < k) {
             MpfrArray scratch((size_t)rest_total);
-            fconv_scatter(ptrs.data(), rest, yslice.data(), resty,
-                          scratch[(size_t)0], rest);
+            for (long j = lo; j < k; j++) {
+                for (long i = 0; i < rest_total; i++)
+                    ptrs[(size_t)i] = &out[j * rest_total + i];
+                for (long i = 0; i < resty_total; i++)
+                    yslice[(size_t)i] = ys[(k - j) * resty_total + i];
+                fconv_scatter(ptrs.data(), rest, yslice.data(), resty,
+                              scratch[(size_t)0], rest);
+            }
             for (long i = 0; i < rest_total; i++)
                 mpfr_sub(cur[(size_t)i], cur[(size_t)i], scratch[(size_t)i],
                          MPFR_RNDN);
@@ -1432,18 +1433,20 @@ static void flog_rec(const __mpfr_struct* const* xs, const Shape& sxs,
                             (unsigned long)k, MPFR_RNDN);
         }
         long lo = std::max<long>(1, k + 1 - lxs);
-        for (long j = lo; j < k; j++) {
-            // cur -= xs[k-j] (*) (j * res[j])
-            for (long i = 0; i < rest_total; i++)
-                mpfr_mul_ui(jres[(size_t)i], &out[j * rest_total + i],
-                            (unsigned long)j, MPFR_RNDN);
-            for (long i = 0; i < restx_total; i++)
-                xslice[(size_t)i] = xs[(k - j) * restx_total + i];
-            for (long i = 0; i < rest_total; i++)
-                ptrs[(size_t)i] = jres[(size_t)i];
+        if (lo < k) {
+            // cur -= sum_j xs[k-j] (*) (j * res[j])
             MpfrArray scratch((size_t)rest_total);
-            fconv_scatter(xslice.data(), restx, ptrs.data(), rest,
-                          scratch[(size_t)0], rest);
+            for (long j = lo; j < k; j++) {
+                for (long i = 0; i < rest_total; i++)
+                    mpfr_mul_ui(jres[(size_t)i], &out[j * rest_total + i],
+                                (unsigned long)j, MPFR_RNDN);
+                for (long i = 0; i < restx_total; i++)
+                    xslice[(size_t)i] = xs[(k - j) * restx_total + i];
+                for (long i = 0; i < rest_total; i++)
+                    ptrs[(size_t)i] = jres[(size_t)i];
+                fconv_scatter(xslice.data(), restx, ptrs.data(), rest,
+                              scratch[(size_t)0], rest);
+            }
             for (long i = 0; i < rest_total; i++)
                 mpfr_sub(cur[(size_t)i], cur[(size_t)i], scratch[(size_t)i],
                          MPFR_RNDN);
