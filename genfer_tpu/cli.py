@@ -111,7 +111,14 @@ def select_mode(args):
 
     choice = args.backend or os.environ.get("GENFER_BACKEND")
     if choice is None:
-        choice = "hybrid" if _accelerator_present() else "numpy"
+        if _accelerator_present():
+            # multi-chip: shard the large Cauchy products / solves over
+            # the device mesh (SURVEY §2.9); single chip: host + offload
+            import jax
+
+            choice = "sharded" if len(jax.devices()) > 1 else "hybrid"
+        else:
+            choice = "numpy"
     if args.bounds:
         T = Interval.over(elem)
         if elem is F64 and choice == "jax":

@@ -384,23 +384,44 @@ class GenFun:
 
     # -- evaluation (reference: generating_function.rs:179-222, 548-765) -
     def eval(self, backend, inputs, degree_p1: int) -> TaylorPoly:
-        cache: dict = {}
-        return self.eval_with(backend, list(inputs), degree_p1, cache)
+        return self.eval_with(
+            backend, list(inputs), degree_p1, _EvalCache(self, degree_p1)
+        )
 
     def eval_with(self, backend, inputs, degree_p1, cache) -> TaylorPoly:
-        # NOTE: the cache stores the node itself to pin its id: Python
-        # reuses ids of collected objects, and the observation optimizers
-        # build many short-lived nodes during evaluation.
-        key = (id(self), degree_p1, _inputs_key(inputs))
-        hit = cache.get(key)
-        if hit is not None and hit[0] is self:
-            return hit[1]
-        result = self._eval(backend, inputs, degree_p1, cache)
+        if isinstance(cache, dict):  # plain-dict compatibility (tests)
+            c = _EvalCache(self, degree_p1)
+            cache = c
+        hit = cache.get(self, degree_p1, inputs)
+        if hit is not None:
+            return hit
+        # Evaluate once at the maximum degree any (static) parent will
+        # ever demand; lower-degree requests are served by truncation
+        # (power-series ops are graded: low-order coefficients never
+        # depend on higher-order ones).  Without this, a tower of N
+        # derivative-style observations evaluates each node at up to N
+        # distinct degrees — O(N) redundant full evaluations per node.
+        # (The reference re-evaluates on degree mismatch,
+        # generating_function.rs:199-204 — its own TODO asks for `<=`.)
+        target = max(degree_p1, cache.demand(self))
+        result = self._eval(backend, inputs, target, cache)
         if _CHECK:
             assert all(
-                d == degree_p1 for d in result.degrees_p1
-            ), f"unexpected eval degrees {result.degrees_p1} for target {degree_p1}"
-        cache[key] = (self, result)
+                d == target for d in result.degrees_p1
+            ), f"unexpected eval degrees {result.degrees_p1} for target {target}"
+        cache.put(self, target, inputs, result)
+        # Release children after this node's FIRST completed evaluation:
+        # when every static parent of a child has evaluated once, the
+        # child's cached tensors can be dropped (pure memo — eviction can
+        # only cost a recompute, never correctness).  This bounds live
+        # memory by the working set instead of the whole DAG's tensors
+        # (a 100-observation tower would otherwise hold O(N) full-order
+        # coefficient tensors at once).
+        if cache.first_eval(self):
+            for child in self.args:
+                cache.release(child)
+        if target > degree_p1:
+            result = result.truncate_to_degree_p1(degree_p1)
         return result
 
     def _eval(self, backend, inputs, degree_p1, cache) -> TaylorPoly:
@@ -569,6 +590,134 @@ def _fmt_polynomial(nested) -> str:
 
 def _inputs_key(inputs):
     return tuple(inputs)
+
+
+def _degree_bump(node) -> int:
+    """How much a node inflates the degree it demands of its children
+    (mirrors the degree arithmetic in GenFun._eval and the observation
+    optimizers in _eval_taylor_coeff_at_zero)."""
+    k = node.kind
+    if k in (DERIVATIVE, TAYLOR_COEFF, TAYLOR_COEFF_AT_ZERO,
+             SHIFT_TAYLOR_AT_ZERO):
+        return node.order
+    if k == TAYLOR_POLYNOMIAL:
+        return max(node.orders) if node.orders else 0
+    return 0
+
+
+class _EvalCache:
+    """Evaluation memo with degree-demand targets and consumer-count
+    eviction.
+
+    The reference evaluates its GF DAG with pointer-identity memoization
+    keyed on exact (inputs, degree) (generating_function.rs:179-222),
+    which has two costs this class removes:
+
+    1. *Degree thrash*: a parent mix of Add and Derivative demands a
+       child at several degrees, re-evaluating it once per degree — for a
+       tower of N observation nodes that is O(N) full evaluations per
+       node.  We pre-compute each node's maximum statically-demanded
+       degree (a top-down pass over the DAG), evaluate once at that
+       degree, and serve lower requests by truncation (power-series ops
+       are graded, so low-order coefficients are independent of the
+       truncation order).
+    2. *Peak memory*: holding every intermediate tensor to the end makes
+       memory proportional to the whole DAG.  We pre-count static parents
+       and drop a node's cached tensors once all of them have evaluated.
+       Eviction can only cost a recompute, never correctness.
+
+    Nodes created dynamically during evaluation (observation optimizers,
+    ShiftTaylorAtZero rewrites) have no static counts: they are never
+    evicted and their demand is the requested degree.
+
+    NOTE: all maps store the node object itself to pin its id — Python
+    reuses ids of collected objects (see CLAUDE.md).
+    """
+
+    __slots__ = ("entries", "uses", "evaled", "demands")
+
+    def __init__(self, root, degree_p1: int):
+        self.entries = {}  # id -> (node, {inputs_key: (degree, result)})
+        self.evaled = {}  # id -> node: nodes whose _eval completed once
+        uses = {}  # id -> [node, remaining static parent count]
+        stack = [root]
+        seen = {id(root): root}
+        while stack:
+            n = stack.pop()
+            for c in n.args:
+                entry = uses.get(id(c))
+                if entry is not None and entry[0] is c:
+                    entry[1] += 1
+                else:
+                    uses[id(c)] = [c, 1]
+                if id(c) not in seen or seen[id(c)] is not c:
+                    seen[id(c)] = c
+                    stack.append(c)
+        self.uses = uses
+        # top-down demand propagation in topological order (Kahn on the
+        # static parent counts)
+        demands = {id(root): [root, degree_p1]}
+        indeg = {nid: e[1] for nid, e in uses.items()}
+        queue = [root]
+        while queue:
+            n = queue.pop()
+            d = demands[id(n)][1]
+            bump = _degree_bump(n)
+            for c in n.args:
+                cd = demands.get(id(c))
+                if cd is not None and cd[0] is c:
+                    cd[1] = max(cd[1], d + bump)
+                else:
+                    demands[id(c)] = [c, d + bump]
+                indeg[id(c)] -= 1
+                if indeg[id(c)] == 0:
+                    queue.append(c)
+        self.demands = demands
+
+    def demand(self, node) -> int:
+        d = self.demands.get(id(node))
+        if d is not None and d[0] is node:
+            return d[1]
+        return 0  # dynamic node: no static demand
+
+    def get(self, node, degree_p1, inputs):
+        per = self.entries.get(id(node))
+        if per is None or per[0] is not node:
+            return None
+        rec = per[1].get(_inputs_key(inputs))
+        if rec is None or rec[0] < degree_p1:
+            return None
+        if rec[0] == degree_p1:
+            return rec[1]
+        return rec[1].truncate_to_degree_p1(degree_p1)
+
+    def put(self, node, degree_p1, inputs, result):
+        per = self.entries.get(id(node))
+        if per is None or per[0] is not node:
+            per = (node, {})
+            self.entries[id(node)] = per
+        ik = _inputs_key(inputs)
+        rec = per[1].get(ik)
+        if rec is None or rec[0] < degree_p1:
+            per[1][ik] = (degree_p1, result)
+
+    def first_eval(self, node) -> bool:
+        """Mark node as evaluated; True only the first time."""
+        prev = self.evaled.get(id(node))
+        if prev is node:
+            return False
+        self.evaled[id(node)] = node
+        return True
+
+    def release(self, child) -> None:
+        entry = self.uses.get(id(child))
+        if entry is None or entry[0] is not child:
+            return  # dynamic node: no static count, never evicted
+        entry[1] -= 1
+        if entry[1] <= 0:
+            per = self.entries.get(id(child))
+            if per is not None and per[0] is child:
+                del self.entries[id(child)]
 
 
 def _const_term_host(poly: TaylorPoly):

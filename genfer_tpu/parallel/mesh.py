@@ -120,6 +120,96 @@ def sharded_conv_2d(mesh, a, b, out_shape):
     return fn(a, b)
 
 
+def sharded_conv_nd(mesh, a, b, out_shape):
+    """Truncated n-D Cauchy product with the *first operand's* leading
+    axis sharded over ``tp``: each device convolves its row block of ``a``
+    with the replicated ``b`` and the partial outputs are psum-reduced.
+    Works for any ndim (the 3/4-variable models of SURVEY §2.9); compute
+    splits exactly 1/tp per device while communication is one psum of the
+    output tensor over ICI."""
+    jax = _jax()
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape["tp"]
+    a0 = a.shape[0]
+    b0 = b.shape[0]
+    blk = (a0 + tp - 1) // tp
+    a0p = blk * tp
+    if a0p != a0:
+        a = jnp.pad(a, [(0, a0p - a0)] + [(0, 0)] * (a.ndim - 1))
+    rest = tuple(out_shape[1:])
+    # local conv runs to blk + b0 - 1 rows; the device's rows land at
+    # offset r*blk in a big buffer of exactly (tp-1)*blk + blk + b0 - 1
+    # rows so dynamic_update_slice never clamps, then truncate after psum
+    loc_len = blk + b0 - 1
+    big_len = a0p + b0 - 1
+
+    def kernel(a_loc, b_full):
+        r = jax.lax.axis_index("tp")
+        from ..taylor.backend import _conv_dense
+
+        loc = _conv_dense(jnp, a_loc, b_full, (loc_len,) + rest)
+        big = jnp.zeros((big_len,) + rest, a_loc.dtype)
+        start = (r * blk,) + tuple(
+            jnp.zeros((), r.dtype) for _ in rest
+        )
+        big = jax.lax.dynamic_update_slice(big, loc, start)
+        return jax.lax.psum(big, "tp")
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P("tp"), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    out = fn(a, b)
+    return out[: out_shape[0]]
+
+
+def sharded_div_lanes(mesh, xs, ys, out_shape, axis):
+    """Power-series division along one effective axis, with the *other*
+    lanes sharded over ``tp``: the lower-triangular Toeplitz solve
+    (reference recurrence multivariate_taylor.rs:1162-1192) is sequential
+    only along ``axis``; every other lane is independent."""
+    jax = _jax()
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..taylor.backend import _toeplitz
+
+    tp = mesh.shape["tp"]
+    n = out_shape[axis]
+    yvec = jnp.moveaxis(ys, axis, 0).reshape(ys.shape[axis])
+    xmat = jnp.moveaxis(xs, axis, 0).reshape(xs.shape[axis], -1)
+    pad = n - xmat.shape[0]
+    xmat = jnp.pad(xmat, ((0, pad), (0, 0))) if pad > 0 else xmat[:n]
+    lanes = xmat.shape[1]
+    lanesp = ((lanes + tp - 1) // tp) * tp
+    if lanesp != lanes:
+        xmat = jnp.pad(xmat, ((0, 0), (0, lanesp - lanes)))
+
+    def kernel(x_loc, y_full):
+        T = _toeplitz(jnp, y_full, n, n)
+        return jax.lax.linalg.triangular_solve(
+            T, x_loc, left_side=True, lower=True
+        )
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(None, "tp"), P()),
+        out_specs=P(None, "tp"),
+        check_rep=False,
+    )
+    sol = fn(xmat, yvec)[:, :lanes]
+    inter_sq = [s for i, s in enumerate(out_shape) if i != axis]
+    return jnp.moveaxis(sol.reshape([n] + inter_sq), 0, axis)
+
+
 def sharded_inference_step(mesh, batch_a, batch_b, out_shape):
     """One full sharded inference step on a batch of 2-D coefficient
     tensors: dp-sharded batch, tp-sharded Cauchy product, followed by the
@@ -180,8 +270,14 @@ class ShardedF64Backend:
     Construct with ``ShardedF64Backend(make_mesh())`` or let the CLI build
     it via ``--backend sharded``."""
 
+    #: minimum multiply-adds before a conv is worth sharding (per-device
+    #: dispatch + the output psum must amortize)
+    CONV_SHARD_FLOPS = 4_000_000
+    #: minimum independent lanes per device for the sharded solve
+    MIN_LANES_PER_DEVICE = 8
+
     def __new__(cls, mesh=None, min_rows_per_device: int = 64):
-        from ..taylor.backend import JaxF64Backend
+        from ..taylor.backend import HybridBackend, JaxF64Backend
 
         class _Impl(JaxF64Backend):
             def __init__(self, mesh, min_rows):
@@ -193,14 +289,18 @@ class ShardedF64Backend:
                 out_shape = tuple(int(s) for s in out_shape)
                 tp = self.mesh.shape["tp"]
                 eff = [i for i, s in enumerate(out_shape) if s != 1]
+                big = (
+                    HybridBackend._conv_flops(
+                        tuple(a.shape), tuple(b.shape), out_shape
+                    )
+                    >= cls.CONV_SHARD_FLOPS
+                )
                 if (
                     tp > 1
                     and len(eff) == 2
                     and eff[0] == 0
                     and out_shape[0] >= tp * self.min_rows
                 ):
-                    import jax.numpy as jnp
-
                     rows = ((out_shape[0] + tp - 1) // tp) * tp
                     a2 = a.reshape(a.shape[0], -1)
                     b2 = b.reshape(b.shape[0], -1)
@@ -214,8 +314,6 @@ class ShardedF64Backend:
                     and len(eff) == 1
                     and out_shape[eff[0]] >= tp * 4 * self.min_rows
                 ):
-                    import jax.numpy as jnp
-
                     n = out_shape[eff[0]]
                     rows = ((n + tp - 1) // tp) * tp
                     av = a.reshape(-1)
@@ -224,6 +322,36 @@ class ShardedF64Backend:
                     shape = [1] * len(out_shape)
                     shape[eff[0]] = n
                     return out.reshape(out_shape)
+                if tp > 1 and len(eff) >= 3 and big:
+                    # shard operand rows of the leading effective axis
+                    # (works for any ndim; psum-reduced partial outputs)
+                    a_sq = a.reshape([a.shape[i] for i in eff])
+                    b_sq = b.reshape([b.shape[i] for i in eff])
+                    eff_out = tuple(out_shape[i] for i in eff)
+                    # shard the larger operand's leading axis
+                    if b_sq.shape[0] > a_sq.shape[0]:
+                        a_sq, b_sq = b_sq, a_sq
+                    if a_sq.shape[0] >= tp:
+                        out = sharded_conv_nd(self.mesh, a_sq, b_sq, eff_out)
+                        return out.reshape(out_shape)
                 return super().conv_trunc(a, b, out_shape)
+
+            def poly_div(self, xs, ys, out_shape):
+                out_shape = tuple(int(s) for s in out_shape)
+                tp = self.mesh.shape["tp"]
+                from ..taylor.backend import _effective_axes
+
+                eff_ys = _effective_axes(tuple(ys.shape))
+                if tp > 1 and len(eff_ys) == 1:
+                    axis = eff_ys[0]
+                    lanes = 1
+                    for i, s in enumerate(out_shape):
+                        if i != axis:
+                            lanes *= s
+                    if lanes >= tp * cls.MIN_LANES_PER_DEVICE:
+                        return sharded_div_lanes(
+                            self.mesh, xs, ys, out_shape, axis
+                        )
+                return super().poly_div(xs, ys, out_shape)
 
         return _Impl(mesh, min_rows_per_device)

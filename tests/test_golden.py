@@ -67,7 +67,7 @@ def test_corpus_present():
         f"golden corpus directories missing under {REFERENCE}: "
         f"{_MISSING_DIRS} — set GENFER_REFERENCE or mount the corpus"
     )
-    assert len(CASES) >= 150, f"only {len(CASES)} golden cases collected"
+    assert len(CASES) >= 100, f"only {len(CASES)} golden cases collected"
 
 _NUM_RE = re.compile(
     r"-?\d+\.\d+e-?\d+|-?\d+e-?\d+|-?\d+\.\d+|-?\d+/\d+|-?\d+|-?inf|NaN|∞|-∞"
