@@ -53,26 +53,47 @@ def _pairs(s, o):
     return count
 
 
-def bench_kernel(order=256, ndim=1, dtype="float64", iters=20):
+def bench_kernel(order=256, ndim=1, dtype="float64", iters=8):
+    """On-device scan-amortized measurement.
+
+    Two measurement hazards in this environment, both hit in round 1:
+    * ``block_until_ready`` through the remote TPU tunnel returns before
+      execution completes, so per-call timing of dispatched ops measures
+      dispatch only — we force materialization with np.asarray instead;
+    * the terminal caches compiles persistently, so inputs are seeded
+      from os.urandom and iterations are serialized *on device* inside
+      one jitted lax.scan (each step consumes the previous output).
+    """
+    import os
+
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     jax.config.update("jax_enable_x64", True)
-    from genfer_tpu.taylor.backend import _conv_jit
+    from genfer_tpu.taylor.backend import _conv_impl
 
     shape = (order,) * ndim
-    # distinct inputs per call so XLA cannot CSE repeated invocations
-    xs = [
-        jax.random.uniform(jax.random.PRNGKey(i), shape, dtype=dtype)
-        for i in range(5)
-    ]
-    fn = _conv_jit(shape, shape, shape)
-    fn(xs[0], xs[1]).block_until_ready()  # compile
+
+    def step(carry, _):
+        a, b = carry
+        out = _conv_impl(jnp, a, b, shape)
+        out = out / jnp.max(jnp.abs(out))  # keep magnitudes bounded
+        return (out, a), jnp.sum(out)
+
+    @jax.jit
+    def run(a, b):
+        (_, _), sums = jax.lax.scan(step, (a, b), None, length=iters)
+        return sums
+
+    rng = np.random.RandomState(int.from_bytes(os.urandom(4), "little"))
+    a = jnp.asarray(rng.rand(*shape), dtype=dtype)
+    b = jnp.asarray(rng.rand(*shape), dtype=dtype)
+    np.asarray(run(a, b))  # compile + warm
     t0 = time.perf_counter()
-    outs = [fn(xs[i % 5], xs[(i + 1) % 5]) for i in range(iters)]
-    for out in outs:
-        out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    np.asarray(run(a, b))
+    wall = time.perf_counter() - t0
+    dt = wall / iters  # includes 1/iters of the tunnel roundtrip
     flops = flops_conv_trunc(shape, shape)
     return flops / dt / 1e9, dt
 

@@ -16,6 +16,12 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from ..taylor.tensorpoly import CHECK_INVARIANTS as _CHECK
+
+import os as _os
+
+# debug escape hatch: evaluate at exactly the requested degree (the
+# reference's behavior) instead of the degree-demand target
+_NO_DEMAND = bool(_os.environ.get("GENFER_NO_DEMAND"))
 from ..taylor.tensorpoly import INF_DEGREE, TaylorPoly
 
 # node kinds
@@ -128,16 +134,54 @@ class GenFun:
         return result
 
     # -- operators ------------------------------------------------------
+    # Constant-folding smart constructors: long chains of constant
+    # factors (e.g. digitRecognition's 7840 constant-probability
+    # observations, each of which multiplies the GF by a scalar) collapse
+    # at construction time instead of becoming DAG nodes.  Only folds
+    # that are exact or within eval rounding are applied; in particular
+    # 0 * X is NOT folded (X may evaluate to ±inf and the reference's
+    # IEEE semantics make 0 * inf = NaN in float modes).
     def __add__(self, other):
+        if self.kind == CONST and other.kind == CONST:
+            return GenFun.constant(self.value + other.value)
+        # x + 0 -> x: the zero summand comes from dead/Fail branches
+        # (observe desugars to if/else with a zero else-translation)
+        if other.kind == CONST and other.value.is_zero():
+            return self
+        if self.kind == CONST and self.value.is_zero():
+            return other
         return GenFun(ADD, args=(self, other))
 
     def __neg__(self):
+        if self.kind == CONST:
+            return GenFun.constant(-self.value)
         return GenFun(NEG, args=(self,))
 
     def __sub__(self, other):
         return self + (-other)
 
     def __mul__(self, other):
+        a, b = self, other
+        if a.kind == CONST:
+            if b.kind == CONST:
+                return GenFun.constant(a.value * b.value)
+            if a.value.is_one():
+                return b
+            if b.kind == MUL:
+                b0, b1 = b.args
+                if b0.kind == CONST and not b0.value.is_zero():
+                    return GenFun.constant(a.value * b0.value) * b1
+                if b1.kind == CONST and not b1.value.is_zero():
+                    return b0 * GenFun.constant(a.value * b1.value)
+        elif b.kind == CONST:
+            if b.value.is_one():
+                return a
+            if a.kind == MUL:
+                a0, a1 = a.args
+                if a0.kind == CONST and not a0.value.is_zero():
+                    return GenFun.constant(b.value * a0.value) * a1
+                if a1.kind == CONST and not a1.value.is_zero():
+                    return a0 * GenFun.constant(b.value * a1.value)
         return GenFun(MUL, args=(self, other))
 
     def __truediv__(self, other):
@@ -403,7 +447,11 @@ class GenFun:
         # distinct degrees — O(N) redundant full evaluations per node.
         # (The reference re-evaluates on degree mismatch,
         # generating_function.rs:199-204 — its own TODO asks for `<=`.)
-        target = max(degree_p1, cache.demand(self))
+        target = (
+            degree_p1
+            if _NO_DEMAND
+            else max(degree_p1, cache.demand(self))
+        )
         result = self._eval(backend, inputs, target, cache)
         if _CHECK:
             assert all(
@@ -892,13 +940,16 @@ def _recognize_negative_binomial_observation(g: GenFun, aux_var: int):
 
 
 def _is_var_minus_one(node: GenFun, v: int) -> bool:
-    """Match ``Var(v) - 1`` which is ``Add(Var(v), Neg(Const(1)))``."""
+    """Match ``Var(v) - 1``: ``Add(Var(v), Neg(Const(1)))`` or, with the
+    constant-folding smart constructors, ``Add(Var(v), Const(-1))``."""
     if node.kind != ADD:
         return False
     a, b = node.args
     if not (a.kind == VAR and a.var == v):
         return False
-    if b.kind != NEG:
-        return False
-    c = b.args[0]
-    return c.kind == CONST and c.value.is_one()
+    if b.kind == NEG:
+        c = b.args[0]
+        return c.kind == CONST and c.value.is_one()
+    if b.kind == CONST:
+        return (-b.value).is_one()
+    return False

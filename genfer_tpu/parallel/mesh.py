@@ -46,15 +46,45 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None):
     return Mesh(mesh_devices, ("dp", "tp"))
 
 
-def _toeplitz(jnp, a, out_len, b_len, row_offset=0):
+def _toeplitz(jnp, a, out_len, b_len, row_offset=0, total_rows=None):
+    """T[k, j] = a[row_offset + k - j], gather-free (skew reshape; TPU
+    gathers serialize to scalar loads).  ``total_rows`` bounds
+    ``row_offset + out_len`` so the band vector can be built statically;
+    ``row_offset`` may be traced (e.g. ``axis_index`` inside shard_map)."""
+    import jax as _jax
+
+    rest = a.shape[1:]
     la = a.shape[0]
-    k = jnp.arange(out_len)[:, None] + row_offset
-    j = jnp.arange(b_len)[None, :]
-    idx = k - j
-    valid = (idx >= 0) & (idx < la)
-    g = a[jnp.clip(idx, 0, la - 1)]
-    valid = valid.reshape(valid.shape + (1,) * (g.ndim - 2))
-    return jnp.where(valid, g, 0.0)
+    total = total_rows if total_rows is not None else out_len
+    # band vector over all rows: v_full[t] = a[t - (b_len - 1)]
+    Lfull = total + b_len - 1
+    pad_front = b_len - 1
+    v_full = jnp.concatenate([
+        jnp.zeros((pad_front,) + rest, a.dtype),
+        a[: max(0, Lfull - pad_front)],
+        jnp.zeros((max(0, Lfull - pad_front - la),) + rest, a.dtype),
+    ])[:Lfull]
+    L = out_len + b_len - 1
+    if total_rows is None and not isinstance(row_offset, int):
+        raise ValueError("traced row_offset requires total_rows")
+    if isinstance(row_offset, int) and row_offset == 0:
+        v = v_full[:L]
+    else:
+        if isinstance(row_offset, int):
+            start = (row_offset,) + (0,) * len(rest)
+        else:  # traced (e.g. axis_index): match its integer dtype
+            zero = jnp.zeros((), row_offset.dtype)
+            start = (row_offset,) + (zero,) * len(rest)
+        v = _jax.lax.dynamic_slice(
+            v_full, start, (L,) + tuple(rest)
+        )
+    w = jnp.concatenate([v, jnp.zeros((1,) + rest, a.dtype)])
+    reps = out_len + 2
+    flat = jnp.broadcast_to(w[None], (reps,) + w.shape).reshape(
+        (reps * (L + 1),) + rest
+    )
+    U = flat[: out_len * (L + 2)].reshape((out_len, L + 2) + rest)
+    return jnp.flip(U[:, :b_len], axis=1)
 
 
 def sharded_conv_1d(mesh, a, b, out_len: int):
@@ -71,7 +101,8 @@ def sharded_conv_1d(mesh, a, b, out_len: int):
 
     def kernel(a_full, b_full):
         r = jax.lax.axis_index("tp")
-        T = _toeplitz(jnp, a_full, block, b_full.shape[0], row_offset=r * block)
+        T = _toeplitz(jnp, a_full, block, b_full.shape[0],
+                      row_offset=r * block, total_rows=out_len)
         return T @ b_full
 
     fn = shard_map(
@@ -102,7 +133,8 @@ def sharded_conv_2d(mesh, a, b, out_shape):
         r = jax.lax.axis_index("tp")
         a0, a1 = a_full.shape
         b0, b1 = b_full.shape
-        Ta = _toeplitz(jnp, a_full, block, b0, row_offset=r * block)
+        Ta = _toeplitz(jnp, a_full, block, b0,
+                       row_offset=r * block, total_rows=c0)
         H = jnp.einsum("kji,jl->kil", Ta, b_full)
         i = jnp.arange(a1)[:, None, None]
         j = jnp.arange(b1)[None, :, None]
@@ -238,7 +270,8 @@ def sharded_inference_step(mesh, batch_a, batch_b, out_shape):
         def one(a_full, b_full):
             b0, b1 = b_full.shape
             a1 = a_full.shape[1]
-            Ta = _toeplitz(jnp, a_full, block, b0, row_offset=r * block)
+            Ta = _toeplitz(jnp, a_full, block, b0,
+                       row_offset=r * block, total_rows=c0)
             H = jnp.einsum("kji,jl->kil", Ta, b_full)
             i = jnp.arange(a1)[:, None, None]
             j = jnp.arange(b1)[None, :, None]

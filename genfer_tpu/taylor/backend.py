@@ -773,15 +773,29 @@ def _jax():
 
 
 def _toeplitz(jnp, a, out_len: int, b_len: int):
-    """T[k, j] = a[k - j] masked to the valid band (k-j in [0, len(a)))."""
+    """T[k, j] = a[k - j] (zero outside the band), built without gathers.
+
+    TPU gathers serialize to scalar loads (a 256-order conv spent ~0.5 s
+    in them); this uses the skew-reshape trick instead: tile the padded
+    band vector with period L+1 and re-read rows with length L+2, which
+    shifts each row by +1 — pure pad/broadcast/reshape/slice ops that XLA
+    lowers to relayout copies."""
+    rest = a.shape[1:]
     la = a.shape[0]
-    k = jnp.arange(out_len)[:, None]
-    j = jnp.arange(b_len)[None, :]
-    idx = k - j
-    valid = (idx >= 0) & (idx < la)
-    gathered = a[jnp.clip(idx, 0, la - 1)]
-    valid = valid.reshape(valid.shape + (1,) * (gathered.ndim - 2))
-    return jnp.where(valid, gathered, 0.0)
+    L = out_len + b_len - 1
+    pad_front = b_len - 1
+    v = jnp.concatenate([
+        jnp.zeros((pad_front,) + rest, a.dtype),
+        a[: max(0, L - pad_front)],
+        jnp.zeros((max(0, L - pad_front - la),) + rest, a.dtype),
+    ])[:L]
+    w = jnp.concatenate([v, jnp.zeros((1,) + rest, a.dtype)])  # length L+1
+    reps = out_len + 2
+    flat = jnp.broadcast_to(w[None], (reps,) + w.shape).reshape(
+        (reps * (L + 1),) + rest
+    )
+    U = flat[: out_len * (L + 2)].reshape((out_len, L + 2) + rest)
+    return jnp.flip(U[:, :b_len], axis=1)
 
 
 def _onehot_add(jnp, la: int, lb: int, out_len: int, dtype):
@@ -826,20 +840,23 @@ def _conv_impl(jnp, a, b, out_shape: Shape):
 
 def _antidiag_sum(jnp, P, out_len: int):
     """Given P[..., i, j], return c[..., k] = sum_{i+j=k} P[..., i, j]
-    via a masked gather along j (bandwidth-bound, avoids the O(i*j*k)
-    one-hot contraction)."""
+    without gathers: flip j, pad, and re-read the rows with a +1 skew so
+    anti-diagonals line up as columns, then one reduce (see _toeplitz)."""
     ni = P.shape[-2]
     nj = P.shape[-1]
-    i = jnp.arange(ni)[:, None]
-    k = jnp.arange(out_len)[None, :]
-    idx = k - i  # [ni, out_len]
-    valid = (idx >= 0) & (idx < nj)
-    idxc = jnp.clip(idx, 0, nj - 1)
-    shape = (1,) * (P.ndim - 2) + (ni, out_len)
-    indices = jnp.broadcast_to(idxc.reshape(shape), P.shape[:-1] + (out_len,))
-    g = jnp.take_along_axis(P, indices, axis=-1)
-    g = jnp.where(valid.reshape(shape), g, 0.0)
-    return jnp.sum(g, axis=-2)
+    K = out_len
+    batch = P.shape[:-2]
+    nb = len(batch)
+    C = nj + K - 1 + ni
+    Pf = jnp.flip(P, axis=-1)
+    Pp = jnp.pad(Pf, [(0, 0)] * nb + [(0, 0), (K - 1, ni)])
+    flat = Pp.reshape(batch + (ni * C,))
+    need = ni * (C + 1)
+    flat = jnp.pad(flat, [(0, 0)] * nb + [(0, need - ni * C)])
+    L = flat.reshape(batch + (ni, C + 1))  # L[..., i, u] = Pp[..., i, u+i]
+    s = jnp.sum(L, axis=-2)
+    # c[k] = s[nj + K - 2 - k]
+    return jnp.flip(s[..., (nj - 1) : (nj + K - 1)], axis=-1)
 
 
 def _conv_dense(jnp, a, b, out_shape: Shape):
@@ -1538,12 +1555,16 @@ class HybridBackend(NumpyF64Backend):
     """
 
     #: minimum number of multiply-adds before a conv is offloaded.
-    #: Offload pays a device dispatch (up to ~100ms through remote TPU
-    #: tunnels) and a per-shape compile, so only ops where the host would
-    #: spend seconds are worth it; shapes are bucketed to bound compiles.
-    CONV_OFFLOAD_FLOPS = 2_000_000_000
-    #: minimum length before a 1-axis recurrence is offloaded
-    SOLVE_OFFLOAD_LEN = 4096
+    #: Offload pays a device roundtrip (measured ~0.3-0.6 s through the
+    #: remote TPU tunnel: ~100-150 MB/s transfers + dispatch latency) and
+    #: a per-shape compile; the native host kernel sustains ~7 GFLOP/s,
+    #: so only ops where the host would spend >= ~1 s are worth it.
+    #: Shapes are bucketed to bound the number of compiles.
+    CONV_OFFLOAD_FLOPS = 6_000_000_000
+    #: minimum length before a 1-axis recurrence is offloaded (the
+    #: triangular solve is O(n^2): host is faster than one roundtrip
+    #: until n is in the tens of thousands)
+    SOLVE_OFFLOAD_LEN = 16384
     #: operand axes are padded up to multiples of this before offload
     SHAPE_BUCKET = 64
 
