@@ -111,7 +111,13 @@ def select_mode(args):
 
     choice = args.backend or os.environ.get("GENFER_BACKEND")
     if choice is None:
-        if _accelerator_present():
+        if elem is not F64:
+            # exact / multiprec / bigfloat coefficients live in host
+            # object arrays regardless of the backend choice: never
+            # probe (or initialize) jax — the axon TPU plugin probe
+            # costs ~15-20 s per process for a sub-second inference.
+            choice = "numpy"
+        elif _accelerator_present():
             # multi-chip: shard the large Cauchy products / solves over
             # the device mesh (SURVEY §2.9); single chip: host + offload
             import jax
@@ -122,6 +128,7 @@ def select_mode(args):
     if args.bounds:
         T = Interval.over(elem)
         if elem is F64 and choice == "jax":
+            _enable_x64()
             backend = JaxIntervalBackend()
         elif elem is F64 and choice in ("numpy", "hybrid"):
             backend = NumpyIntervalBackend()
@@ -130,12 +137,15 @@ def select_mode(args):
         return T, backend, elem
     T = elem
     if elem is F64 and choice == "sharded":
+        _enable_x64()
         from .parallel.mesh import ShardedF64Backend
 
         backend = ShardedF64Backend()
     elif elem is F64 and choice == "jax":
+        _enable_x64()
         backend = JaxF64Backend()
     elif elem is F64 and choice == "hybrid":
+        _enable_x64()
         backend = HybridBackend()
     elif elem is F64 and choice == "numpy":
         backend = NumpyF64Backend()
@@ -177,7 +187,9 @@ def main(argv=None):
 
 def _main_impl(argv=None):
     args = build_arg_parser().parse_args(argv)
-    _enable_x64()
+    # NOTE: jax is initialized lazily by select_mode only when a
+    # jax-backed mode is actually chosen — exact/host runs must not pay
+    # the accelerator-plugin probe (~15-20 s under the axon tunnel).
     text = args.file_name.read_text(encoding="utf-8")
     program = parse_program(text)
     if args.print_program:

@@ -134,26 +134,41 @@ class GenFun:
         return result
 
     # -- operators ------------------------------------------------------
-    # Constant-folding smart constructors: long chains of constant
-    # factors (e.g. digitRecognition's 7840 constant-probability
-    # observations, each of which multiplies the GF by a scalar) collapse
-    # at construction time instead of becoming DAG nodes.  Only folds
-    # that are exact or within eval rounding are applied; in particular
-    # 0 * X is NOT folded (X may evaluate to ±inf and the reference's
-    # IEEE semantics make 0 * inf = NaN in float modes).
+    # Constant-folding smart constructors, gated on EXACT_RING scalar
+    # types (Rational) only.  In float modes the DAG must be structurally
+    # identical to the reference's (generating_function.rs:235-292 folds
+    # NOTHING): even a bit-exact elision like 1·x changes which
+    # observation-optimizer pattern (generating_function.rs:840-914)
+    # matches downstream, silently selecting a different — differently
+    # rounded — evaluation strategy.  (Round 2 shipped unconditional
+    # folds; eliding `Add * Const(1)` in nested_infer_goals flipped an
+    # optimizer match and moved Z one ULP onto exactly 1.0, flipping the
+    # is_normalized output template of main.rs:419.)  For exact scalars
+    # every strategy yields the identical exact value, so folding only
+    # affects speed — long chains of constant factors (digitRecognition's
+    # 7840 constant-probability observations) collapse at construction.
+    # Float modes get the equivalent speedup from the iterative
+    # constant-chain evaluation in _eval (same multiplication sequence as
+    # the reference, no per-node overhead).  0 · X is never folded
+    # (X may evaluate to ±inf; IEEE 0·inf = NaN).
     def __add__(self, other):
-        if self.kind == CONST and other.kind == CONST:
-            return GenFun.constant(self.value + other.value)
-        # x + 0 -> x: the zero summand comes from dead/Fail branches
-        # (observe desugars to if/else with a zero else-translation)
-        if other.kind == CONST and other.value.is_zero():
+        if self.kind == CONST and self.value.EXACT_RING:
+            if other.kind == CONST:
+                return GenFun.constant(self.value + other.value)
+            if self.value.is_zero():
+                return other
+        elif (
+            other.kind == CONST
+            and other.value.EXACT_RING
+            and other.value.is_zero()
+        ):
+            # x + 0 -> x: the zero summand comes from dead/Fail branches
+            # (observe desugars to if/else with a zero else-translation)
             return self
-        if self.kind == CONST and self.value.is_zero():
-            return other
         return GenFun(ADD, args=(self, other))
 
     def __neg__(self):
-        if self.kind == CONST:
+        if self.kind == CONST and self.value.EXACT_RING:
             return GenFun.constant(-self.value)
         return GenFun(NEG, args=(self,))
 
@@ -162,7 +177,7 @@ class GenFun:
 
     def __mul__(self, other):
         a, b = self, other
-        if a.kind == CONST:
+        if a.kind == CONST and a.value.EXACT_RING:
             if b.kind == CONST:
                 return GenFun.constant(a.value * b.value)
             if a.value.is_one():
@@ -173,7 +188,7 @@ class GenFun:
                     return GenFun.constant(a.value * b0.value) * b1
                 if b1.kind == CONST and not b1.value.is_zero():
                     return b0 * GenFun.constant(a.value * b1.value)
-        elif b.kind == CONST:
+        elif b.kind == CONST and b.value.EXACT_RING:
             if b.value.is_one():
                 return a
             if a.kind == MUL:
@@ -479,14 +494,50 @@ class GenFun:
             return TaylorPoly.var(backend, self.var, inputs[self.var], degree_p1)
         if k == CONST:
             return TaylorPoly.from_scalar(backend, self.value)
-        if k == ADD:
-            return self.args[0].eval_with(backend, inputs, degree_p1, cache) + \
+        if k == ADD or k == MUL:
+            # Iterative constant-spine evaluation: a tower of Add/Mul
+            # nodes with one constant operand each — e.g.
+            # digitRecognition's 7840 constant-probability observations,
+            # each of which contributes Add(Mul(p, G), Const(0))
+            # (semantics/gf.rs:169-174, 306-316) — is evaluated by a loop
+            # applying each constant innermost-first.  This performs the
+            # *same sequence* of TaylorPoly operations as the recursive
+            # eval (bit-identical results, unlike folding the constants
+            # away at construction time, which changes which observation
+            # optimizer matches) while avoiding O(N) Python recursion and
+            # cache bookkeeping.  Only unshared links are inlined: a
+            # shared node keeps its cache entry for its other consumers.
+            spine = []
+            node = self
+            while True:
+                x, y = node.args
+                nk = node.kind
+                if x.kind == CONST and y.kind != CONST:
+                    spine.append((nk, x.value, True))
+                    rest = y
+                elif y.kind == CONST and x.kind != CONST:
+                    spine.append((nk, y.value, False))
+                    rest = x
+                else:
+                    break
+                if rest.kind in (ADD, MUL) and cache.sole_consumer(rest):
+                    node = rest
+                    continue
+                result = rest.eval_with(backend, inputs, degree_p1, cache)
+                for op, cv, const_on_left in reversed(spine):
+                    cpoly = TaylorPoly.from_scalar(backend, cv)
+                    if op == ADD:
+                        result = cpoly + result if const_on_left else result + cpoly
+                    else:
+                        result = cpoly * result if const_on_left else result * cpoly
+                return result
+            if k == ADD:
+                return self.args[0].eval_with(backend, inputs, degree_p1, cache) + \
+                    self.args[1].eval_with(backend, inputs, degree_p1, cache)
+            return self.args[0].eval_with(backend, inputs, degree_p1, cache) * \
                 self.args[1].eval_with(backend, inputs, degree_p1, cache)
         if k == NEG:
             return -self.args[0].eval_with(backend, inputs, degree_p1, cache)
-        if k == MUL:
-            return self.args[0].eval_with(backend, inputs, degree_p1, cache) * \
-                self.args[1].eval_with(backend, inputs, degree_p1, cache)
         if k == DIV:
             return self.args[0].eval_with(backend, inputs, degree_p1, cache) / \
                 self.args[1].eval_with(backend, inputs, degree_p1, cache)
@@ -748,6 +799,15 @@ class _EvalCache:
         rec = per[1].get(ik)
         if rec is None or rec[0] < degree_p1:
             per[1][ik] = (degree_p1, result)
+
+    def sole_consumer(self, node) -> bool:
+        """True if at most one static parent still needs this node's
+        value (dynamic nodes report False): bypassing its cache entry
+        cannot cost any other consumer a recompute."""
+        entry = self.uses.get(id(node))
+        if entry is None or entry[0] is not node:
+            return False
+        return entry[1] <= 1
 
     def first_eval(self, node) -> bool:
         """Mark node as evaluated; True only the first time."""

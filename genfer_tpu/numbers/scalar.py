@@ -66,6 +66,11 @@ class _NumberBase:
 
     __slots__ = ()
 
+    # True only for types whose + and * are exact (associativity holds
+    # bit-for-bit); lets the GF smart constructors re-associate constant
+    # products without perturbing rounding vs the reference eval order.
+    EXACT_RING = False
+
     # -- derived (reference: number.rs:38-43) --
     def minimum(self, other):
         return -((-self).maximum(-other))
@@ -443,6 +448,8 @@ _NEG_INF = "NegInf"
 
 class Rational(_NumberBase):
     __slots__ = ("frac", "special")
+
+    EXACT_RING = True
 
     def __init__(self, frac, special: Optional[str] = None):
         # `frac` is an mpq when the native extension is loaded, else a

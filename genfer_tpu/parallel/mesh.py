@@ -92,7 +92,7 @@ def sharded_conv_1d(mesh, a, b, out_len: int):
     ``tp`` mesh axis; inputs replicated (they are O(n) vs O(n^2) compute)."""
     jax = _jax()
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.6 top-level API (experimental path is deprecated)
     from jax.sharding import PartitionSpec as P
 
     tp = mesh.shape["tp"]
@@ -110,7 +110,7 @@ def sharded_conv_1d(mesh, a, b, out_len: int):
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=P("tp"),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(a, b)
 
@@ -121,7 +121,7 @@ def sharded_conv_2d(mesh, a, b, out_shape):
     for its row block (see genfer_tpu.taylor.backend._conv_dense)."""
     jax = _jax()
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.6 top-level API (experimental path is deprecated)
     from jax.sharding import PartitionSpec as P
 
     c0, c1 = out_shape
@@ -147,7 +147,7 @@ def sharded_conv_2d(mesh, a, b, out_shape):
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=P("tp"),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(a, b)
 
@@ -161,7 +161,7 @@ def sharded_conv_nd(mesh, a, b, out_shape):
     output tensor over ICI."""
     jax = _jax()
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.6 top-level API (experimental path is deprecated)
     from jax.sharding import PartitionSpec as P
 
     tp = mesh.shape["tp"]
@@ -195,7 +195,7 @@ def sharded_conv_nd(mesh, a, b, out_shape):
         mesh=mesh,
         in_specs=(P("tp"), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     out = fn(a, b)
     return out[: out_shape[0]]
@@ -208,7 +208,7 @@ def sharded_div_lanes(mesh, xs, ys, out_shape, axis):
     only along ``axis``; every other lane is independent."""
     jax = _jax()
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.6 top-level API (experimental path is deprecated)
     from jax.sharding import PartitionSpec as P
 
     from ..taylor.backend import _toeplitz
@@ -235,7 +235,7 @@ def sharded_div_lanes(mesh, xs, ys, out_shape, axis):
         mesh=mesh,
         in_specs=(P(None, "tp"), P()),
         out_specs=P(None, "tp"),
-        check_rep=False,
+        check_vma=False,
     )
     sol = fn(xmat, yvec)[:, :lanes]
     inter_sq = [s for i, s in enumerate(out_shape) if i != axis]
@@ -253,7 +253,7 @@ def sharded_inference_step(mesh, batch_a, batch_b, out_shape):
     total masses."""
     jax = _jax()
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.6 top-level API (experimental path is deprecated)
     from jax.sharding import PartitionSpec as P
 
     c0, c1 = out_shape
@@ -289,7 +289,7 @@ def sharded_inference_step(mesh, batch_a, batch_b, out_shape):
         mesh=mesh,
         in_specs=(P("dp"), P("dp")),
         out_specs=(P("dp", "tp"), P("dp")),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(batch_a, batch_b)
 
@@ -309,16 +309,49 @@ class ShardedF64Backend:
     #: minimum independent lanes per device for the sharded solve
     MIN_LANES_PER_DEVICE = 8
 
-    def __new__(cls, mesh=None, min_rows_per_device: int = 64):
+    def __new__(cls, mesh=None, min_rows_per_device: int = 64,
+                conv_shard_flops: int | None = None,
+                min_lanes_per_device: int | None = None,
+                shape_bucket: int = 64):
         from ..taylor.backend import HybridBackend, JaxF64Backend
+
+        shard_flops = (
+            cls.CONV_SHARD_FLOPS if conv_shard_flops is None
+            else conv_shard_flops
+        )
+        min_lanes = (
+            cls.MIN_LANES_PER_DEVICE if min_lanes_per_device is None
+            else min_lanes_per_device
+        )
 
         class _Impl(JaxF64Backend):
             def __init__(self, mesh, min_rows):
                 super().__init__()
                 self.mesh = mesh or make_mesh()
                 self.min_rows = min_rows
+                self.conv_shard_flops = shard_flops
+                self.min_lanes_per_device = min_lanes
+                self.shape_bucket = shape_bucket
+
+            def _bucket(self, n: int) -> int:
+                bk = self.shape_bucket
+                return ((int(n) + bk - 1) // bk) * bk
+
+            def _pad_to(self, arr, shape):
+                if tuple(arr.shape) == tuple(shape):
+                    return arr
+                return self.jnp.pad(
+                    arr, [(0, t - s) for s, t in zip(arr.shape, shape)]
+                )
 
             def conv_trunc(self, a, b, out_shape):
+                # Sharded convs run on zero-padded shapes bucketed to
+                # multiples of shape_bucket: extra zero coefficients do
+                # not change the truncated product's low-order outputs,
+                # and the mesh compiles one shard_map program per bucket
+                # instead of one per exact shape (a GF eval touches
+                # dozens of near-identical shapes from pow towers and
+                # per-variable substitutions).
                 out_shape = tuple(int(s) for s in out_shape)
                 tp = self.mesh.shape["tp"]
                 eff = [i for i, s in enumerate(out_shape) if s != 1]
@@ -326,7 +359,7 @@ class ShardedF64Backend:
                     HybridBackend._conv_flops(
                         tuple(a.shape), tuple(b.shape), out_shape
                     )
-                    >= cls.CONV_SHARD_FLOPS
+                    >= self.conv_shard_flops
                 )
                 if (
                     tp > 1
@@ -334,13 +367,17 @@ class ShardedF64Backend:
                     and eff[0] == 0
                     and out_shape[0] >= tp * self.min_rows
                 ):
-                    rows = ((out_shape[0] + tp - 1) // tp) * tp
+                    rows = self._bucket(out_shape[0])
+                    rows = ((rows + tp - 1) // tp) * tp
+                    cols = self._bucket(out_shape[1])
                     a2 = a.reshape(a.shape[0], -1)
                     b2 = b.reshape(b.shape[0], -1)
-                    out = sharded_conv_2d(
-                        self.mesh, a2, b2, (rows, out_shape[1])
-                    )
-                    out = out[: out_shape[0]]
+                    a2 = self._pad_to(a2, (self._bucket(a2.shape[0]),
+                                           self._bucket(a2.shape[1])))
+                    b2 = self._pad_to(b2, (self._bucket(b2.shape[0]),
+                                           self._bucket(b2.shape[1])))
+                    out = sharded_conv_2d(self.mesh, a2, b2, (rows, cols))
+                    out = out[: out_shape[0], : out_shape[1]]
                     return out.reshape(out_shape)
                 if (
                     tp > 1
@@ -348,9 +385,11 @@ class ShardedF64Backend:
                     and out_shape[eff[0]] >= tp * 4 * self.min_rows
                 ):
                     n = out_shape[eff[0]]
-                    rows = ((n + tp - 1) // tp) * tp
+                    rows = ((self._bucket(n) + tp - 1) // tp) * tp
                     av = a.reshape(-1)
                     bv = b.reshape(-1)
+                    av = self._pad_to(av, (self._bucket(av.shape[0]),))
+                    bv = self._pad_to(bv, (self._bucket(bv.shape[0]),))
                     out = sharded_conv_1d(self.mesh, av, bv, rows)[:n]
                     shape = [1] * len(out_shape)
                     shape[eff[0]] = n
@@ -365,7 +404,15 @@ class ShardedF64Backend:
                     if b_sq.shape[0] > a_sq.shape[0]:
                         a_sq, b_sq = b_sq, a_sq
                     if a_sq.shape[0] >= tp:
-                        out = sharded_conv_nd(self.mesh, a_sq, b_sq, eff_out)
+                        a_sq = self._pad_to(
+                            a_sq, tuple(self._bucket(s) for s in a_sq.shape)
+                        )
+                        b_sq = self._pad_to(
+                            b_sq, tuple(self._bucket(s) for s in b_sq.shape)
+                        )
+                        big_out = tuple(self._bucket(s) for s in eff_out)
+                        out = sharded_conv_nd(self.mesh, a_sq, b_sq, big_out)
+                        out = out[tuple(slice(0, s) for s in eff_out)]
                         return out.reshape(out_shape)
                 return super().conv_trunc(a, b, out_shape)
 
@@ -381,7 +428,7 @@ class ShardedF64Backend:
                     for i, s in enumerate(out_shape):
                         if i != axis:
                             lanes *= s
-                    if lanes >= tp * cls.MIN_LANES_PER_DEVICE:
+                    if lanes >= tp * self.min_lanes_per_device:
                         return sharded_div_lanes(
                             self.mesh, xs, ys, out_shape, axis
                         )

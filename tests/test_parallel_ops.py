@@ -222,7 +222,7 @@ def test_graft_dryrun_multichip_cold_subprocess():
         env=env,
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=1200,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip OK" in proc.stdout

@@ -14,6 +14,24 @@ path) and act as a pinned oracle:
 telephone_operator uses a Poisson observation, whose likelihood has no
 rational closed form — the reference's rational mode prints
 "(not a rational)" there too (rational.rs:329-337 exp()).
+
+External validation (beyond the self-pinned rational oracle):
+
+* burglar_alarm — Z and E match the reference's own committed exact
+  oracle ``benchmarks/neurips2023/exact/alarm/alarm.expected``
+  (P(burglary=1) = 2969983/992160802; Z = 0.1984321604 =
+  496080401/2500000000): the same Bayes net, independent provenance.
+* piranha — hand-computed: Z = P(observe piranha drawn) = ½·1 + ½·½ =
+  3/4; posterior P(added piranha) = (½)/(¾) = 2/3.  The classic
+  bowl puzzle from the Prodigy paper's example set.
+* twocoins — hand-computed: Z = P(¬both heads) = 3/4; E[firstCoin] =
+  (¼)/(¾) = 1/3.  The upstream pgcl source itself carries the comment
+  "expected: firstCoin/3 + secondCoin/3 + 1/3" (marginal 1/3).
+* monty_hall — result encodes 1 = staying wins (P = 1/3), 2 = switching
+  wins (P = 2/3), so E = 1·(1/3) + 2·(2/3) = 5/3, the textbook
+  Monty Hall posterior; Z = 1 (no observe).
+* evidence1/evidence2 — structurally the twocoins posterior (Z = 3/4,
+  E = 1/3), hand-checkable the same way.
 """
 
 from __future__ import annotations
