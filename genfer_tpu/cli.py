@@ -66,10 +66,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax NaN debugging (jax_debug_nans)")
     p.add_argument("--backend",
-                   choices=["jax", "numpy", "hybrid", "sharded", "object"], default=None,
+                   choices=["jax", "numpy", "hybrid", "sharded", "pallas",
+                            "object"], default=None,
                    help="force an array backend (default: jax on an "
                    "accelerator, numpy on CPU for float modes; object for "
-                   "exact modes)")
+                   "exact modes; pallas = opt-in f32 MXU fast mode, "
+                   "~1e-6 rel error on large products)")
     return p
 
 
@@ -95,6 +97,7 @@ def select_mode(args):
         NumpyF64Backend,
         NumpyIntervalBackend,
         ObjectBackend,
+        PallasBackend,
     )
 
     if args.rational:
@@ -147,6 +150,9 @@ def select_mode(args):
     elif elem is F64 and choice == "hybrid":
         _enable_x64()
         backend = HybridBackend()
+    elif elem is F64 and choice == "pallas":
+        _enable_x64()
+        backend = PallasBackend()
     elif elem is F64 and choice == "numpy":
         backend = NumpyF64Backend()
     else:

@@ -52,6 +52,9 @@ def make_param_scalar(param_names: Sequence[str]):
     class ParamScalar:
         __slots__ = ("expr",)
         _param_index = index
+        #: not an exact ring: the IR's constant-folding smart constructors
+        #: must not re-associate symbolic parameter expressions
+        EXACT_RING = False
 
         def __init__(self, expr: SymGenFun):
             self.expr = expr

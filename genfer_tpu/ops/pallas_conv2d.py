@@ -1,0 +1,168 @@
+"""Fused Pallas MXU kernel for the truncated 2-D Cauchy product.
+
+The hot op of 2-variable GF evaluation (reference
+multivariate_taylor.rs:984-1012) is ``c[k0,k1] = sum a[i0,i1]*b[j0,j1]``
+over ``i+j=k`` with per-axis truncation.  The XLA f64 path materializes a
+(c0, b0, a1) Toeplitz tensor in HBM and runs an einsum plus an
+anti-diagonal reduction (backend._conv_dense); measured on a v5e chip it
+sustains ~51 GFLOP/s (f64 emulation) / ~311 GFLOP/s (f32).
+
+This kernel keeps everything in VMEM and builds the Toeplitz *tiles* on
+the fly with a single strided ``pltpu.roll`` per (row-block, tile):
+
+    out tile C[K0:K0+128, K1:K1+128]
+      = sum_{j0} AW_{j0} @ ( sum over i1-tiles T(j0, K1/128 - t) )
+    AW_{j0}      = a[K0-j0 : K0-j0+128, :]           (dynamic row slice)
+    T(j0, m)[i1', c] = b[j0, 128*m + c - i1']        (128x128 Toeplitz,
+                       built as roll(broadcast(w), 129, stride=1))
+
+MXU work is (128,128)@(128,128) matmuls at f32-HIGHEST precision.
+
+Precision (measured on v5e, order-256 random operands, vs f64):
+  * f32 DEFAULT (one bf16 pass):   ~2.5e-3  max rel err
+  * f32 HIGHEST (multi-pass):      ~1.9e-7  max rel err
+  * f32x2 (two-float, 3 passes):   ~1.9e-7  — identical to HIGHEST
+    because the MXU accumulates in f32: compensated products cannot
+    survive the per-pass f32 accumulator rounding.  1e-10-class accuracy
+    is therefore unreachable on the MXU; it needs the XLA f64 emulation
+    path (or a compensated VPU kernel, which measures slower than the
+    emulation).  See docs/extended_precision.md.
+
+f32 only, opt-in (``--backend pallas``); the default f64 path is the XLA
+backend.  Operand sizes are capped by VMEM (~16 MB/core): both padded
+operands must fit, which covers per-axis orders <= ~768.
+"""
+
+from __future__ import annotations
+
+import functools
+
+TILE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.lru_cache(maxsize=None)
+def _build2d(a0: int, a1: int, b0: int, b1: int, c0: int, c1: int,
+             interpret: bool, highest: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c0t = pl.cdiv(c0, TILE)
+    c1t = pl.cdiv(c1, TILE)
+    c0p, c1p = c0t * TILE, c1t * TILE
+    a1p = _round_up(a1, TILE)
+    m_t = a1p // TILE
+    # top zero-padding of a so the dynamic row window K0 - j0 stays >= 0
+    pt = _round_up(max(b0 - 1, 0), 8)
+    r0 = pt + c0p + 16  # +16: aligned-slab slack for the row rotation
+    # left zero-padding of b columns so every 256-wide Toeplitz window
+    # starts at a non-negative column
+    pb = TILE * m_t
+    c_b = pb + TILE * c1t + 2 * TILE
+    prec = (jax.lax.Precision.HIGHEST if highest
+            else jax.lax.Precision.DEFAULT)
+    # t-loop bounds: the Toeplitz window T(j0, m) with m = i1t - t covers
+    # b-column indices [128m - 127, 128m + 128); it is all-zero unless
+    # 0 <= m and 128m - 127 <= b1 - 1
+    m_hi = (b1 + TILE - 2) // TILE + 1  # m < m_hi
+
+    slab_h = TILE + 16  # aligned slab covering any 128-row window
+
+    def kernel(a_ref, b_ref, o_ref, aw_ref):
+        # all index arithmetic in i32: Mosaic cannot legalize i64 (which
+        # python-int promotion produces under jax_enable_x64)
+        i0t = pl.program_id(0).astype(jnp.int32)
+        i1t = pl.program_id(1).astype(jnp.int32)
+        k0 = i0t * jnp.int32(TILE)
+
+        def j0_body(j0, acc):
+            # a-row window k0 - j0 .. +127 slides by one per j0, but
+            # Mosaic vector loads must start 8-sublane aligned: load the
+            # aligned 144-row slab around it, rotate rows into place,
+            # and stage the window in VMEM scratch
+            aw_start = k0 + jnp.int32(pt) - j0
+            off = jax.lax.rem(aw_start, jnp.int32(8))
+            slab = a_ref[pl.ds(pl.multiple_of(aw_start - off, 8), slab_h), :]
+            shift = jax.lax.rem(
+                jnp.int32(slab_h) - off, jnp.int32(slab_h)
+            )
+            aw_ref[:, :] = pltpu.roll(slab, shift, 0)[:TILE]
+
+            def t_body(t, acc):
+                # Toeplitz window of b covers columns [128m-127, 128m+128)
+                # (m = i1t - t): load the three aligned tiles around it
+                col0 = jnp.int32(pb) + (i1t - t - jnp.int32(1)) * jnp.int32(TILE)
+                w = b_ref[pl.ds(j0, 1), pl.ds(col0, 3 * TILE)]
+                w2 = jnp.broadcast_to(w, (TILE, 3 * TILE))
+                # T[i, c] = w[128 + c - i]: strided rotate by 256 + i
+                # (shift must be i32: tpu.dynamic_rotate rejects i64
+                # even when jax_enable_x64 is on)
+                t128 = pltpu.roll(w2, jnp.int32(2 * TILE), 1, stride=1,
+                                  stride_axis=0)[:, :TILE]
+                at = aw_ref[:, pl.ds(t * TILE, TILE)]
+                return acc + jax.lax.dot(
+                    at, t128,
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
+
+            t_lo = jnp.maximum(jnp.int32(0), i1t + jnp.int32(1 - m_hi))
+            t_hi = jnp.minimum(jnp.int32(m_t), i1t + jnp.int32(1))
+            return jax.lax.fori_loop(t_lo, t_hi, t_body, acc)
+
+        nj = jnp.minimum(jnp.int32(b0), k0 + jnp.int32(TILE))
+        acc = jax.lax.fori_loop(
+            jnp.int32(0), nj, j0_body, jnp.zeros((TILE, TILE), jnp.float32)
+        )
+        o_ref[:, :] = acc
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(c0t, c1t),
+        in_specs=[
+            pl.BlockSpec((r0, a1p), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b0, c_b), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c0p, c1p), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE, a1p), jnp.float32)],
+        interpret=interpret,
+    )
+
+    def run(a, b):
+        ap = jnp.zeros((r0, a1p), jnp.float32)
+        ap = ap.at[pt : pt + min(a0, c0p), :a1].set(
+            a[: min(a0, c0p)].astype(jnp.float32)
+        )
+        bp = jnp.zeros((b0, c_b), jnp.float32)
+        bp = bp.at[:, pb : pb + b1].set(b.astype(jnp.float32))
+        # trace the pallas call in 32-bit mode: under jax_enable_x64 the
+        # BlockSpec index maps produce i64 constants Mosaic cannot legalize
+        with jax.enable_x64(False):
+            out = call(ap, bp)
+        return out[:c0, :c1]
+
+    return jax.jit(run)
+
+
+def conv2d_pallas(a, b, out_shape, interpret: bool = False,
+                  highest: bool = True):
+    """Truncated 2-D Cauchy product of float matrices on the TPU MXU.
+
+    ``interpret=True`` runs in the Pallas interpreter (CPU testing);
+    ``highest`` selects multi-pass f32 matmuls (~1.9e-7 rel error) over
+    single-pass bf16 (~2.5e-3)."""
+    c0, c1 = int(out_shape[0]), int(out_shape[1])
+    return _build2d(
+        int(a.shape[0]), int(a.shape[1]),
+        int(b.shape[0]), int(b.shape[1]),
+        c0, c1, interpret, highest,
+    )(a, b)

@@ -28,6 +28,7 @@ Three implementations:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Sequence
 
 import numpy as np
@@ -1064,6 +1065,195 @@ class JaxF64Backend(Backend):
         shape[axis] = len(factors)
         return arr * f.reshape(shape)
 
+    # ---- multivariate power-series kernels (Newton, conv-based) ------
+    #
+    # The reference computes multivariate div/exp/log with coefficient
+    # recurrences that are sequential in the leading axis and recurse
+    # per-coefficient in the remaining axes (multivariate_taylor.rs
+    # 1162-1231 div, 1285-1317 exp, 1335-1386 log).  That shape of
+    # computation is hostile to the TPU: O(order) tiny dependent steps.
+    # Instead we use Newton/Hensel lifting, which expresses all three as
+    # O(log order) *full-size truncated convolutions* — the one op this
+    # framework is fast at everywhere (XLA Toeplitz-matmul kernels on
+    # device, native C++ on host, shard_map over the mesh).  Each
+    # iteration doubles the number of correct orders along one axis, so
+    # the total work is a small constant multiple of a single conv.
+    #
+    # These produce the same truncated series as the recurrences up to
+    # f64 rounding (goldens compare numerically at reference is_close
+    # tolerances); non-finite / zero-leading-coefficient inputs take the
+    # IEEE-faithful generic recurrence instead.
+
+    def _trunc_to(self, arr, shape):
+        """Slice then zero-pad ``arr`` to exactly ``shape``."""
+        sl = tuple(slice(0, min(s, t)) for s, t in zip(arr.shape, shape))
+        return self.pad_to(arr[sl], _norm_shape(shape))
+
+    def _all_finite(self, arr) -> bool:
+        return bool(self.jnp.isfinite(arr).all())
+
+    def _origin_one(self, ndim):
+        """The constant-1 series: a single 1 at the origin."""
+        return self.jnp.ones((1,) * ndim, dtype=self.dtype)
+
+    def _inv_nd(self, ys, t_shape, r0=None, exact0=1):
+        """Reciprocal of the power series ``ys`` truncated to ``t_shape``
+        by Newton doubling along the first effective axis:
+
+            r <- r + r * (1 - ys * r)
+
+        If ``r - 1/ys`` has valuation >= k along the Newton axis, the
+        update makes it >= 2k, so ceil(log2(n)) iterations suffice; the
+        base case (<= 1 effective axis) is the fast triangular-solve
+        division of 1 by ``ys``.  ``r0``/``exact0`` warm-start the
+        iteration with an approximation exact to valuation ``exact0``."""
+        t_shape = _norm_shape(t_shape)
+        nd = len(t_shape)
+        eff = [
+            i for i in range(nd)
+            if min(ys.shape[i], t_shape[i]) > 1 and t_shape[i] > 1
+        ]
+        if r0 is None and len(eff) <= 1:
+            return self.poly_div(self._origin_one(nd), ys, t_shape)
+        a = eff[0] if eff else 0
+        na = t_shape[a]
+        if r0 is None:
+            sub_t = tuple(1 if i == a else s for i, s in enumerate(t_shape))
+            r = self._inv_nd(self.slice_axis(ys, a, 0, 1), sub_t)
+            k = 1
+        else:
+            r, k = r0, exact0
+        while k < na:
+            k2 = min(2 * k, na)
+            t = tuple(k2 if i == a else s for i, s in enumerate(t_shape))
+            yt = self._trunc_to(ys, t)
+            rt = self._trunc_to(r, t)
+            e = self.sub(
+                self.pad_to(self._origin_one(nd), t),
+                self.conv_trunc(yt, rt, t),
+            )
+            r = self.add(rt, self.conv_trunc(rt, e, t))
+            k = k2
+        return r
+
+    def _poly_div_nd(self, xs, ys, out_shape):
+        """Multivariate division: q = xs * inv(ys) plus one residual
+        refinement step (q += inv(ys) * (xs - ys*q)) for ~1-ulp accuracy.
+        Falls back to the IEEE-faithful generic recurrence when the
+        leading coefficient is zero or inputs are non-finite."""
+        out_shape = _norm_shape(out_shape)
+        lead = ys[(0,) * ys.ndim]
+        if (
+            not self._all_finite(ys)
+            or not self._all_finite(xs)
+            or float(lead) == 0.0
+        ):
+            return self._div_generic(xs, ys, out_shape)
+        inv_t = tuple(
+            o if ys.shape[i] > 1 else 1 for i, o in enumerate(out_shape)
+        )
+        r = self._inv_nd(ys, inv_t)
+        xt = self._trunc_to(xs, out_shape)
+        yt = self._trunc_to(ys, tuple(
+            min(ys.shape[i], out_shape[i]) for i in range(len(out_shape))
+        ))
+        q = self.conv_trunc(xt, r, out_shape)
+        e = self.sub(xt, self.conv_trunc(q, yt, out_shape))
+        return self.add(q, self.conv_trunc(e, r, out_shape))
+
+    def _poly_log_nd(self, xs, out_shape):
+        """Multivariate log via  d/dv log(x) = (d/dv x) * inv(x) along the
+        first effective axis, integrated, with the integration constant
+        log(x|_{v=0}) computed recursively one dimension down."""
+        out_shape = _norm_shape(out_shape)
+        lead = xs[(0,) * xs.ndim]
+        if not self._all_finite(xs) or not float(lead) > 0.0:
+            return self._log_generic(xs, out_shape)
+        nd = len(out_shape)
+        eff = [
+            i for i in range(nd)
+            if min(xs.shape[i], out_shape[i]) > 1 and out_shape[i] > 1
+        ]
+        # log varies only along xs's axes; compute there, zero-pad after
+        work = tuple(
+            out_shape[i] if i in eff else 1 for i in range(nd)
+        )
+        a = eff[0]
+        na = work[a]
+        la = min(xs.shape[a], na)
+        xw = self._trunc_to(xs, tuple(
+            min(xs.shape[i], work[i]) for i in range(nd)
+        ))
+        r = self._inv_nd(xw, work)
+        # derivative along a: dx[j] = (j+1) * x[j+1]
+        dx = self.scale_axis(
+            self.slice_axis(xw, a, 1, la), a,
+            [float(j) for j in range(1, la)],
+        )
+        g_shape = tuple(na - 1 if i == a else s for i, s in enumerate(work))
+        g = self.conv_trunc(
+            self._trunc_to(dx, g_shape), self._trunc_to(r, g_shape), g_shape
+        )
+        tail = self.scale_axis(g, a, [1.0 / j for j in range(1, na)])
+        sub_t = tuple(1 if i == a else s for i, s in enumerate(work))
+        head = self.poly_log(self.slice_axis(xw, a, 0, 1), sub_t)
+        res = self.concat([self._trunc_to(head, sub_t), tail], a)
+        return self._trunc_to(res, out_shape)
+
+    def _poly_exp_nd(self, xs, out_shape):
+        """Multivariate exp by Newton iteration  y <- y * (1 + x - log y)
+        along the first effective axis; the axis-0 slice is seeded with
+        the recursively computed (n-1)-D exp, which makes the integration
+        constant of the inner log exactly the slice of x."""
+        out_shape = _norm_shape(out_shape)
+        if not self._all_finite(xs):
+            return self._exp_generic(xs, out_shape)
+        nd = len(out_shape)
+        eff = [
+            i for i in range(nd)
+            if min(xs.shape[i], out_shape[i]) > 1 and out_shape[i] > 1
+        ]
+        work = tuple(
+            out_shape[i] if i in eff else 1 for i in range(nd)
+        )
+        a = eff[0]
+        na = work[a]
+        xw = self._trunc_to(xs, tuple(
+            min(xs.shape[i], work[i]) for i in range(nd)
+        ))
+        sub_t = tuple(1 if i == a else s for i, s in enumerate(work))
+        x0 = self._trunc_to(self.slice_axis(xw, a, 0, 1), sub_t)
+        y = self._trunc_to(self.poly_exp(x0, sub_t), sub_t)
+        # y is constant along a, so inv(y) is too: r = inv(y) exactly
+        r = self._inv_nd(y, sub_t)
+        r_ex = na  # valuation along a to which r matches inv(y)
+        k = 1
+        while k < na:
+            k2 = min(2 * k, na)
+            t = tuple(k2 if i == a else s for i, s in enumerate(work))
+            yt = self._trunc_to(y, t)
+            # lift the reciprocal to valuation k2 against the current y
+            r = self._inv_nd(yt, t, r0=self._trunc_to(r, t),
+                             exact0=min(r_ex, k2))
+            # log(y) = x|_{v_a=0} + integral of (dy/dv_a) * inv(y)
+            dy = self.scale_axis(
+                self.slice_axis(yt, a, 1, k2), a,
+                [float(j) for j in range(1, k2)],
+            )
+            g_shape = tuple(
+                k2 - 1 if i == a else s for i, s in enumerate(work)
+            )
+            g = self.conv_trunc(dy, self._trunc_to(r, g_shape), g_shape)
+            tail = self.scale_axis(g, a, [1.0 / j for j in range(1, k2)])
+            logy = self.concat([x0, tail], a)
+            d = self.sub(self._trunc_to(xw, t), logy)
+            y = self.add(yt, self.conv_trunc(yt, d, t))
+            # the update changed y at valuations >= k, so r is now only
+            # guaranteed against the new y up to valuation k
+            r_ex = k
+            k = k2
+        return self._trunc_to(y, out_shape)
+
     # ---- fast kernels -----------------------------------------------
     def conv_trunc(self, a, b, out_shape):
         out_shape = _norm_shape(out_shape)
@@ -1080,7 +1270,7 @@ class JaxF64Backend(Backend):
             return _div1d_jit(
                 tuple(xs.shape), tuple(ys.shape), out_shape, axis
             )(xs, ys)
-        return self._div_generic(xs, ys, out_shape)
+        return self._poly_div_nd(xs, ys, out_shape)
 
     def poly_exp(self, xs, out_shape):
         out_shape = _norm_shape(out_shape)
@@ -1089,7 +1279,7 @@ class JaxF64Backend(Backend):
             return self.jnp.broadcast_to(self.jnp.exp(xs), out_shape)
         if len(eff) == 1:
             return _exp1d_jit(tuple(xs.shape), out_shape, eff[0])(xs)
-        return self._exp_generic(xs, out_shape)
+        return self._poly_exp_nd(xs, out_shape)
 
     def poly_log(self, xs, out_shape):
         out_shape = _norm_shape(out_shape)
@@ -1098,7 +1288,7 @@ class JaxF64Backend(Backend):
             return self.jnp.broadcast_to(self.jnp.log(xs), out_shape)
         if len(eff) == 1:
             return _log1d_jit(tuple(xs.shape), out_shape, eff[0])(xs)
-        return self._log_generic(xs, out_shape)
+        return self._poly_log_nd(xs, out_shape)
 
 
 # ===================================================================
@@ -1432,7 +1622,7 @@ class NumpyF64Backend(JaxF64Backend):
                         sol = solve_triangular(T, xm, lower=True)
             rest = [s for i, s in enumerate(out_shape) if i != axis]
             return np.moveaxis(sol.reshape([n] + rest), 0, axis)
-        return self._div_generic(xs, ys, out_shape)
+        return self._poly_div_nd(xs, ys, out_shape)
 
     @staticmethod
     def _div_forward_sub(xm, yv, n):
@@ -1476,7 +1666,7 @@ class NumpyF64Backend(JaxF64Backend):
             return np.moveaxis(
                 res.reshape([n] + [1] * (len(out_shape) - 1)), 0, axis
             )
-        return self._exp_generic(xs, out_shape)
+        return self._poly_exp_nd(xs, out_shape)
 
     def poly_log(self, xs, out_shape):
         out_shape = _norm_shape(out_shape)
@@ -1513,7 +1703,7 @@ class NumpyF64Backend(JaxF64Backend):
             return np.moveaxis(
                 res.reshape([n] + [1] * (len(out_shape) - 1)), 0, axis
             )
-        return self._log_generic(xs, out_shape)
+        return self._poly_log_nd(xs, out_shape)
 
 
 def _np_toeplitz(a, out_len, b_len):
@@ -1655,3 +1845,57 @@ class HybridBackend(NumpyF64Backend):
             )
             return np.asarray(out)
         return super().poly_log(xs, out_shape)
+
+
+class PallasBackend(HybridBackend):
+    """Opt-in fast-math backend (``--backend pallas``): large truncated
+    Cauchy products run on the fused Pallas MXU kernel
+    (ops/pallas_conv2d.py) in f32-HIGHEST precision; everything else is
+    the f64 host/hybrid path.
+
+    Measured on a v5e chip vs the XLA f64 emulation path:
+
+        order 256 (2-var):  3.6 ms vs 42 ms  (11.6x),  max rel err 1.4e-6
+        order 512 (2-var):  8.8 ms vs 364 ms (41x),    max rel err 2.9e-6
+
+    The error bound is set by the MXU's f32 accumulator (see
+    docs/extended_precision.md): results are good to ~1e-6 relative on
+    the offloaded products, exact f64 elsewhere.  Newton-based
+    multivariate div/exp/log route their convolutions through this path
+    automatically.
+
+    The offload threshold assumes a co-located accelerator; through a
+    remote TPU tunnel every offload pays a ~0.3-0.6 s round trip, so set
+    ``GENFER_PALLAS_OFFLOAD_FLOPS`` accordingly (e.g. 4e9) when
+    benchmarking end-to-end through a tunnel."""
+
+    #: minimum multiply-adds before a 2-axis conv goes to the MXU kernel
+    #: (~26 ms of host C++ time at the default; the kernel itself needs
+    #: ~1-4 ms plus dispatch)
+    PALLAS_OFFLOAD_FLOPS = int(
+        float(os.environ.get("GENFER_PALLAS_OFFLOAD_FLOPS", 2e8))
+    )
+    #: VMEM cap of the fused kernel: both padded operands must fit in
+    #: ~16 MB of VMEM
+    MAX_PALLAS_AXIS = 768
+
+    def conv_trunc(self, a, b, out_shape):
+        out_shape = _norm_shape(out_shape)
+        eff = _effective_axes(out_shape)
+        if (
+            len(eff) == 2
+            and all(out_shape[i] <= self.MAX_PALLAS_AXIS for i in eff)
+            and self._conv_flops(tuple(a.shape), tuple(b.shape), out_shape)
+            >= self.PALLAS_OFFLOAD_FLOPS
+        ):
+            from ..ops.pallas_conv2d import conv2d_pallas
+
+            jnp = self._jnp
+            a2 = a.reshape([a.shape[i] for i in eff])
+            b2 = b.reshape([b.shape[i] for i in eff])
+            eff_out = tuple(out_shape[i] for i in eff)
+            out = conv2d_pallas(
+                jnp.asarray(a2), jnp.asarray(b2), eff_out
+            )
+            return np.asarray(out).astype(np.float64).reshape(out_shape)
+        return super().conv_trunc(a, b, out_shape)

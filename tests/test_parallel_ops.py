@@ -172,6 +172,55 @@ def test_pallas_conv_interpret():
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
 
 
+def test_pallas_conv2d_interpret():
+    """The fused MXU 2-D kernel against the host C++/generic conv on
+    assorted ragged shapes (reference mul: multivariate_taylor.rs
+    984-1012)."""
+    import jax.numpy as jnp
+
+    from genfer_tpu.ops.pallas_conv2d import conv2d_pallas
+    from genfer_tpu.taylor.backend import NumpyF64Backend
+
+    nb = NumpyF64Backend()
+    rng = np.random.RandomState(7)
+    for sa, sb, out in [
+        ((5, 7), (4, 6), (8, 12)),
+        ((130, 140), (120, 100), (130, 140)),
+        ((100, 120), (130, 140), (130, 140)),
+        ((1, 130), (130, 1), (130, 130)),
+    ]:
+        a = rng.rand(*sa)
+        b = rng.rand(*sb)
+        want = nb.conv_trunc(a, b, out)
+        got = np.asarray(
+            conv2d_pallas(jnp.asarray(a), jnp.asarray(b), out,
+                          interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-6)
+
+
+def test_pallas_backend_interpret():
+    """--backend pallas end to end (interpret mode): the backend keeps
+    f64 host semantics and only the offloaded products are f32."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genfer_tpu.taylor.backend import NumpyF64Backend, PallasBackend
+
+    pb = PallasBackend()
+    pb.PALLAS_OFFLOAD_FLOPS = 1  # force the pallas path
+    nb = NumpyF64Backend()
+    rng = np.random.RandomState(3)
+    a = rng.rand(40, 30)
+    b = rng.rand(35, 25)
+    want = nb.conv_trunc(a, b, (60, 50))
+    with pltpu.force_tpu_interpret_mode():
+        got = pb.conv_trunc(a, b, (60, 50))
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-7)
+    # below the threshold: exact f64 host path
+    pb.PALLAS_OFFLOAD_FLOPS = 10**18
+    np.testing.assert_array_equal(pb.conv_trunc(a, b, (60, 50)), want)
+
+
 def test_graft_entry():
     import sys
     from pathlib import Path
