@@ -20,8 +20,15 @@ parameters costs one device dispatch, and batching over thousands of
 parameter vectors rides a single ``vmap``.  This is the natural way to
 serve e.g. the naive-Bayes digitRecognition model over many images.
 
-Limitations (v1): no ``while`` loops (rest mass must be structurally
-zero), f64 only, result variable must be discrete for ``probs``.
+``while`` loops compile through the same unrolling as the CLI
+(``--unroll``/per-loop annotations); the probability mass left in
+unfinished iterations is exposed as ``rest_bound(params)`` — posteriors
+are exact lower bounds and ``p + rest`` the matching upper bounds,
+mirroring the reference's interval output (main.rs:424-449).
+
+Limitations (v1): f64 only, result variable must be discrete for
+``probs``, observation outcomes are structural constants (parameters
+may appear in any probability position).
 """
 
 from __future__ import annotations
@@ -60,9 +67,22 @@ def make_param_scalar(param_names: Sequence[str]):
             self.expr = expr
 
         # -- constructors ---------------------------------------------
+        #: literal/param scalars are interned so that equal values are
+        #: the *same object*: the GF evaluation cache keys inputs by
+        #: hash/identity, and fresh zero()/one() objects per lookup
+        #: (e.g. from TaylorCoeffAtZero rebuilding its input vector)
+        #: would miss the cache and turn shared-DAG evaluation
+        #: exponential (measured: the 10-way class split of the
+        #: naive-Bayes model evaluated 2^10 times instead of 10)
+        _interned: dict = {}
+
         @classmethod
         def _lit(cls, v: float):
-            return cls(SymGenFun.lit(F64, F64(v)))
+            key = ("lit", v)
+            hit = cls._interned.get(key)
+            if hit is None:
+                hit = cls._interned[key] = cls(SymGenFun.lit(F64, F64(v)))
+            return hit
 
         @classmethod
         def zero(cls):
@@ -88,7 +108,13 @@ def make_param_scalar(param_names: Sequence[str]):
                     f"program uses undeclared parameter ${name}; "
                     f"declared: {list(index)}"
                 )
-            return cls(SymGenFun.var_(F64, index[name]))
+            key = ("param", name)
+            hit = cls._interned.get(key)
+            if hit is None:
+                hit = cls._interned[key] = cls(
+                    SymGenFun.var_(F64, index[name])
+                )
+            return hit
 
         # -- predicates (literal-only; conservative) --------------------
         def is_zero(self):
@@ -225,6 +251,8 @@ class CompiledProgram:
 
     def __init__(self, source: str, params: Sequence[str], limit: int,
                  unroll: int = 8):
+        import sys
+
         import jax
 
         self.param_names = list(params)
@@ -232,11 +260,15 @@ class CompiledProgram:
         SP = make_param_scalar(self.param_names)
         self.SP = SP
         self.program = parse_program(source)
-        assert not _has_while(self.program.stmts), (
-            "compiled mode does not support while loops (v1)"
-        )
+        # deep observation chains (e.g. the 784-pixel naive-Bayes model)
+        # nest the GF DAG deeper than the default recursion limit
+        sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))
         self.translation = GfTransformer(SP, unroll=unroll).semantics(
             self.program
+        )
+        rest = self.translation.rest
+        self.has_rest = not (
+            rest.kind == "Const" and rest.value.is_zero()
         )
         self.var_info = self.translation.var_info
         self.num_vars = self.var_info.num_vars()
@@ -248,6 +280,8 @@ class CompiledProgram:
         self._moments = jax.jit(self._moments_impl)
         self._probs_batch = jax.jit(jax.vmap(self._probs_impl))
         self._moments_batch = jax.jit(jax.vmap(self._moments_impl))
+        self._rest = jax.jit(self._rest_impl)
+        self._rest_batch = jax.jit(jax.vmap(self._rest_impl))
 
     # -- traced pipelines ------------------------------------------------
     def _eval_expansion(self, params, substs_hint, degree):
@@ -279,6 +313,21 @@ class CompiledProgram:
         if vec.shape[0] < length:
             vec = jnp.pad(vec, (0, length - vec.shape[0]))
         return vec
+
+    def _rest_impl(self, params):
+        """Upper bound on the probability mass lost to unfinished while
+        iterations (reference rest handling, main.rs:171-173): the rest
+        GF evaluated at the all-zero point to degree 1."""
+        import jax.numpy as jnp
+
+        if not self.has_rest:
+            return jnp.zeros(())
+        backend = TracedF64Backend(params, self.SP)
+        SP = self.SP
+        substs = [SP.zero() for _ in range(self.num_vars)]
+        expansion = self.translation.rest.eval(backend, substs, 1)
+        arr = expansion.coeffs
+        return arr.reshape(-1)[0]
 
     def _probs_impl(self, params):
         expansion = self._eval_expansion(params, "probs", self.limit + 1)
@@ -323,6 +372,14 @@ class CompiledProgram:
 
     def moments_batch(self, params_batch):
         return self._moments_batch(params_batch)
+
+    def rest_bound(self, params):
+        """Mass not accounted for by unrolled while iterations: probs are
+        exact lower bounds, probs + rest_bound upper bounds."""
+        return self._rest(params)
+
+    def rest_bound_batch(self, params_batch):
+        return self._rest_batch(params_batch)
 
 
 def _has_while(stmts) -> bool:

@@ -564,9 +564,17 @@ class GenFun:
             s = self.args[0].eval_with(backend, inputs, degree_p1, cache)
             t = self.args[1].eval_with(backend, inputs, degree_p1, cache)
             assert s.is_constant() and t.is_constant(), "Max only for constants"
-            sv = s.constant_term_host()
-            tv = t.constant_term_host()
-            return TaylorPoly.from_scalar(backend, sv.maximum(tv))
+            if getattr(backend, "concrete", True):
+                sv = s.constant_term_host()
+                tv = t.constant_term_host()
+                return TaylorPoly.from_scalar(backend, sv.maximum(tv))
+            # traced backends (compiled mode) cannot lower device values
+            # to host scalars: take the elementwise max of the constant
+            # coefficient arrays instead
+            m = backend.jnp.maximum(
+                backend.reshape(s.coeffs, ()), backend.reshape(t.coeffs, ())
+            )
+            return TaylorPoly.new(backend, m, ())
         if k == POW:
             return self.args[0].eval_with(backend, inputs, degree_p1, cache).pow(
                 self.order

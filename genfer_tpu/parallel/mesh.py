@@ -334,7 +334,11 @@ class ShardedF64Backend:
                 self.shape_bucket = shape_bucket
 
             def _bucket(self, n: int) -> int:
-                bk = self.shape_bucket
+                # bucket to a coarse grid to bound shard_map compiles,
+                # but never inflate small axes onto the full-size grid:
+                # padding a 3-var conv from 16^3 to 64^3 is a 70x blowup
+                bk = min(self.shape_bucket,
+                         max(8, 1 << (max(int(n), 1) - 1).bit_length()))
                 return ((int(n) + bk - 1) // bk) * bk
 
             def _pad_to(self, arr, shape):

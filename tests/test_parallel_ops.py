@@ -157,6 +157,54 @@ def test_sharded_population_50_3vars_golden():
     compare_outputs(ours, expected, sgcl.name)
 
 
+def test_sharded_newton_exp_log_div_3var():
+    """Multivariate exp/log/div shard over the mesh through the
+    Newton-lifted conv formulation (VERDICT round-2 item 5): the heavy
+    iterations of a 3-var exp tower run as sharded_conv_nd psums, and
+    the results match the host recurrence."""
+    from genfer_tpu.parallel import mesh as M
+    from genfer_tpu.taylor.backend import NumpyF64Backend
+
+    m = M.make_mesh(8)
+    sb = M.ShardedF64Backend(m, conv_shard_flops=100_000)
+    nb = NumpyF64Backend()
+
+    calls = {"n": 0}
+    orig = M.sharded_conv_nd
+
+    def counting(mesh, a, b, out_shape):
+        calls["n"] += 1
+        return orig(mesh, a, b, out_shape)
+
+    M.sharded_conv_nd = counting
+    try:
+        rng = np.random.RandomState(5)
+        shape = (16, 16, 16)
+        xs = rng.randn(*shape) * 0.15
+        got = np.asarray(sb.poly_exp(sb.jnp.asarray(xs), shape))
+        want = nb.poly_exp(xs, shape)
+        np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-10)
+        assert calls["n"] > 0, "exp tower never reached the sharded conv"
+
+        xl = np.abs(rng.randn(*shape)) * 0.1
+        xl[0, 0, 0] = 1.5
+        got = np.asarray(sb.poly_log(sb.jnp.asarray(xl), shape))
+        want = nb.poly_log(xl, shape)
+        np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-10)
+
+        # quotient coefficients reach ~1e12: compare relatively
+        ys = rng.randn(*shape)
+        ys[0, 0, 0] = 2.0
+        xd = rng.randn(*shape)
+        got = np.asarray(
+            sb.poly_div(sb.jnp.asarray(xd), sb.jnp.asarray(ys), shape)
+        )
+        want = nb.poly_div(xd, ys, shape)
+        np.testing.assert_allclose(got, want, rtol=1e-7)
+    finally:
+        M.sharded_conv_nd = orig
+
+
 def test_pallas_conv_interpret():
     import jax.numpy as jnp
 
