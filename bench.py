@@ -232,6 +232,54 @@ def bench_serving(batch=4096):
     }
 
 
+def bench_population_scan(limit=256, steps=20, batch=64):
+    """The scan-compiled population pipeline (genfer_tpu.models):
+    single-dispatch inference with runtime observation counts, one
+    lax.scan per dataset.  Reported: steady-state single-inference
+    latency and batched throughput on the device."""
+    import time as _t
+
+    import numpy as np
+
+    from genfer_tpu.models import CompiledPopulation
+
+    rng = np.random.RandomState(0)
+    cp = CompiledPopulation(0.2636, 0.2, limit=limit, max_steps=steps,
+                            init_lambda=0.0257 * 4 * limit, slack=96)
+    lams = rng.uniform(10, 50, steps)
+    cs = rng.poisson(8, steps)
+    np.asarray(cp.probs(lams, cs))  # compile
+    best = None
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        np.asarray(cp.probs(lams, cs))
+        dt = _t.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    bl = rng.uniform(10, 50, (batch, steps))
+    bc = rng.poisson(8, (batch, steps))
+    np.asarray(cp.probs_batch(bl, bc))
+    bbest = None
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        np.asarray(cp.probs_batch(bl, bc))
+        dt = _t.perf_counter() - t0
+        bbest = dt if bbest is None else min(bbest, dt)
+    print(
+        f"  population-scan (limit {limit}, {steps} rounds): single "
+        f"{best*1e3:.1f} ms, batch {batch} in {bbest:.2f}s = "
+        f"{batch/bbest:.0f} datasets/s",
+        file=sys.stderr,
+    )
+    return {
+        "limit": limit,
+        "steps": steps,
+        "single_ms": round(best * 1e3, 2),
+        "batch": batch,
+        "batch_seconds": round(bbest, 3),
+        "datasets_per_s": round(batch / bbest, 1),
+    }
+
+
 def bench_suite(num_runs=1):
     """End-to-end wall-clock on the neurips2023 exact suite.  Mirrors the
     reference protocol: fp on ``<name>.sgcl``, rational on
@@ -436,11 +484,13 @@ def main():
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--serving", action="store_true")
+    ap.add_argument("--scan", action="store_true")
     ap.add_argument("--all", action="store_true",
-                    help="suite + scaling + pallas + serving")
+                    help="suite + scaling + pallas + serving + scan")
     args = ap.parse_args()
     if args.all:
         args.suite = args.scaling = args.pallas = args.serving = True
+        args.scan = True
 
     gflops, dt = bench_kernel(order=args.order, ndim=args.ndim)
     print(
@@ -462,6 +512,8 @@ def main():
         }
     if args.serving:
         extra["serving"] = bench_serving()
+    if args.scan:
+        extra["population_scan"] = bench_population_scan()
     if args.suite:
         extra["suite"] = bench_suite()
     if args.scaling:

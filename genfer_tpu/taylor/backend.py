@@ -1556,6 +1556,18 @@ class NumpyF64Backend(JaxF64Backend):
 
         return np.asarray(build(nested), dtype=np.float64)
 
+    def seq_sum_axis(self, arr, axis):
+        """Sequential (Horner-order) sum along ``axis``, keepdims: the
+        cumulative sum of the axis-reversed array reproduces the exact
+        right-to-left floating-point accumulation of the Horner loop in
+        ``TaylorPoly.subst_var`` at substitution value 1 (numpy's plain
+        ``sum`` is pairwise and would round differently)."""
+        f = np.flip(arr, axis)
+        c = np.cumsum(f, axis=axis)
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(arr.shape[axis] - 1, arr.shape[axis])
+        return np.ascontiguousarray(c[tuple(sl)])
+
     # ---- fast kernels ----------------------------------------------
     def conv_trunc(self, a, b, out_shape):
         out_shape = _norm_shape(out_shape)

@@ -518,6 +518,32 @@ class TaylorPoly:
                 b, b.slice_axis(self.coeffs, v, 0, 1), degrees,
                 const0=self.const0,
             )
+        # substituting exactly 1 (the marginalization substitution of
+        # probs/moments extraction, reference generating_function.rs:
+        # 945-957) degenerates Horner to a right-to-left running sum;
+        # a sequential (cumsum-ordered) axis reduction is bit-identical
+        # to the Horner accumulation (res*1 + a_i is exact) in one pass
+        # instead of shape[v] full-tensor mul/adds.  Backends without a
+        # sequential reduction keep the Horner path.
+        if (
+            subst.host_const is not None
+            and subst.is_constant()
+            and subst.host_const.is_one()
+        ):
+            seq = getattr(b, "seq_sum_axis", None)
+            if seq is not None:
+                coeffs = self.coeffs
+                nd0 = len(b.shape(coeffs))
+                if nd0 < len(degrees):
+                    coeffs = b.reshape(
+                        coeffs,
+                        list(b.shape(coeffs)) + [1] * (len(degrees) - nd0),
+                    )
+                for ax in range(len(b.shape(coeffs))):
+                    d = degrees[ax]
+                    if ax != v and d != INF_DEGREE and b.shape(coeffs)[ax] > d:
+                        coeffs = b.slice_axis(coeffs, ax, 0, _as_int(d))
+                return TaylorPoly(b, seq(coeffs, v), degrees)
         lin = subst.extract_linear()
         if lin is not None:
             c, m, w = lin
@@ -537,6 +563,12 @@ class TaylorPoly:
                     factor = factor * m
                 result = b.scale_axis(coeffs, v, factors)
                 return TaylorPoly(b, result, degrees, const0=self.const0)
+        fast = self._subst_shift_scale(v, subst, degrees)
+        if fast is not None:
+            return fast
+        fast = self._subst_horner_native(v, subst, degrees)
+        if fast is not None:
+            return fast
         # general Horner
         res = TaylorPoly.zero_with(b, degrees)
         coeffs = self.coeffs
@@ -555,6 +587,195 @@ class TaylorPoly:
                     chunk = b.slice_axis(chunk, ax, 0, _as_int(d))
             res = res * subst + TaylorPoly(b, chunk, degrees)
         return res
+
+    def _subst_horner_native(self, v: int, subst: "TaylorPoly", degrees):
+        """The general Horner substitution loop fused into one native
+        pass per step (_seriesops.subst_horner): for the small
+        replacement series of real programs (a handful of nonzeros) each
+        step is a single output-centric gather instead of numpy's
+        mul/pad/add round trips.  Accumulation order matches the Python
+        loop bit for bit on finite inputs; non-finite inputs keep the
+        IEEE-faithful Python path."""
+        b = self.backend
+        import numpy as _np
+
+        native = getattr(b, "native", None)
+        if native is None or not hasattr(native, "subst_horner"):
+            return None
+        a = self.coeffs
+        g = subst.coeffs
+        if (
+            not isinstance(a, _np.ndarray)
+            or not isinstance(g, _np.ndarray)
+            or a.dtype != _np.float64
+            or g.dtype != _np.float64
+            or g.size > 64
+        ):
+            return None
+        if not (_np.isfinite(a).all() and _np.isfinite(g).all()):
+            return None
+        nd = len(degrees)
+        if a.ndim < nd:
+            a = a.reshape(list(a.shape) + [1] * (nd - a.ndim))
+        if g.ndim < nd:
+            g = g.reshape(list(g.shape) + [1] * (nd - g.ndim))
+        if v >= nd:
+            return None
+        # clip a to the result degrees on the non-v axes (the Python
+        # loop clips each chunk the same way)
+        sl = []
+        for ax in range(nd):
+            d = degrees[ax]
+            if ax != v and d != INF_DEGREE and a.shape[ax] > d:
+                sl.append(slice(0, _as_int(d)))
+            else:
+                sl.append(slice(None))
+        a = _np.ascontiguousarray(a[tuple(sl)])
+        g = _np.ascontiguousarray(g)
+        # simulate the Horner loop's shape growth to size the output
+        def clip(ax, n):
+            d = degrees[ax]
+            return n if d == INF_DEGREE else min(n, _as_int(d))
+
+        chunk_shape = [
+            1 if ax == v else clip(ax, a.shape[ax]) for ax in range(nd)
+        ]
+        # bit-parity guard: conv_nd scatters from the *smaller* operand,
+        # so the accumulation order matches this kernel's fixed g-nonzero
+        # order only while every intermediate res is strictly bigger
+        # than g; res grows monotonically from the first chunk
+        cn = 1
+        for s in chunk_shape:
+            cn *= s
+        if cn <= g.size:
+            return None
+        # the Python loop's first res*g is the zero polynomial's is_zero
+        # fast path (shape stays (1,)*nd), so growth starts one step late
+        s_res = list(chunk_shape)
+        for _ in range(a.shape[v] - 1):
+            s_res = [
+                max(clip(ax, s_res[ax] + g.shape[ax] - 1), chunk_shape[ax])
+                for ax in range(nd)
+            ]
+        out = _np.zeros(s_res)
+        native.subst_horner(
+            a, tuple(a.shape), g, tuple(g.shape), out, tuple(s_res), v
+        )
+        return TaylorPoly(b, out, degrees)
+
+    def _subst_shift_scale(self, v: int, subst: "TaylorPoly", degrees):
+        """One-pass substitution of ``g = alpha + beta * v`` (Taylor
+        shift/scale) or ``g = alpha + beta * v * u`` (the compound-
+        Binomial thinning factor) for the Horner loop.
+
+        Both reduce to the Pascal-triangular transform
+
+            T[..., j] = sum_i a[..., i] * B[i, j],
+            B[i, j] = C(i, j) * alpha^(i-j) * beta^j
+
+        computed as a single matmul over the ``v`` axis (B built by the
+        stable Pascal recurrence B[i+1] = alpha*B[i] + beta*shift(B[i]),
+        the same nonnegative-sum structure as the Horner loop); for the
+        bilinear case the w^j factor then places column j at u-offset j
+        (one strided copy per column, O(tensor) total traffic instead of
+        the Horner loop's O(n * tensor)).
+
+        Only on concrete host (numpy-family) backends — detection reads
+        coefficient values.  Returns None when the pattern does not
+        match."""
+        b = self.backend
+        import numpy as _np
+
+        if (
+            not isinstance(self.coeffs, _np.ndarray)
+            or self.coeffs.dtype != _np.float64
+        ):
+            return None
+        g = subst.coeffs
+        if not isinstance(g, _np.ndarray) or g.dtype != _np.float64:
+            return None
+        gshape = list(g.shape)
+        if v >= len(gshape) or gshape[v] != 2:
+            return None
+        other = [
+            i for i, s in enumerate(gshape) if s != 1 and i != v
+        ]
+        if len(other) > 1:
+            return None
+        u = other[0] if other else None
+        if u is not None and (g.shape[u] != 2 or u == v):
+            return None
+        # alpha at the origin; beta at v=1 (and u=1 when present); no
+        # other nonzeros
+        idx0 = [0] * g.ndim
+        idx1 = [0] * g.ndim
+        idx1[v] = 1
+        if u is not None:
+            idx1[u] = 1
+        alpha = float(g[tuple(idx0)])
+        beta = float(g[tuple(idx1)])
+        mask = _np.zeros_like(g)
+        mask[tuple(idx0)] = alpha
+        mask[tuple(idx1)] = beta
+        if not _np.array_equal(mask, g) or not _np.isfinite(g).all():
+            return None
+        a = self.coeffs
+        if a.ndim < len(degrees):
+            a = a.reshape(list(a.shape) + [1] * (len(degrees) - a.ndim))
+        if not _np.isfinite(a).all():
+            return None
+        # truncate input to the result degrees on every axis but v
+        sl = []
+        for ax in range(a.ndim):
+            d = degrees[ax]
+            if ax != v and d != INF_DEGREE and a.shape[ax] > d:
+                sl.append(slice(0, _as_int(d)))
+            else:
+                sl.append(slice(None))
+        a = a[tuple(sl)]
+        n_in = a.shape[v]
+        dv = degrees[v]
+        n_out = n_in if dv == INF_DEGREE else min(n_in, _as_int(dv))
+        # Pascal matrix by recurrence (row i+1 from row i)
+        B = _np.zeros((n_in, n_out))
+        B[0, 0] = 1.0
+        row = _np.zeros(n_out)
+        row[0] = 1.0
+        for i in range(1, n_in):
+            new = alpha * row
+            new[1:] += beta * row[: n_out - 1]
+            B[i] = new
+            row = new
+        am = _np.moveaxis(a, v, -1)
+        T = am @ B  # (..., n_out)
+        if u is None:
+            out = _np.moveaxis(T, -1, v)
+            return TaylorPoly(b, _np.ascontiguousarray(out), degrees)
+        # bilinear: column j also shifts the u axis by j
+        du = degrees[u]
+        u_in = a.shape[u]
+        u_out = u_in + n_out - 1
+        if du != INF_DEGREE:
+            u_out = min(u_out, _as_int(du))
+        # T axes: a-with-v-moved-to-last; locate u in that layout
+        u_t = u if u < v else u - 1
+        out_shape = list(T.shape)
+        out_shape[u_t] = u_out
+        out = _np.zeros(out_shape)
+        for j in range(n_out):
+            lo = j
+            hi = min(u_out, j + u_in)
+            if lo >= hi:
+                break
+            src = [slice(None)] * T.ndim
+            src[-1] = j
+            src[u_t] = slice(0, hi - lo)
+            dst = [slice(None)] * T.ndim
+            dst[-1] = j
+            dst[u_t] = slice(lo, hi)
+            out[tuple(dst)] = T[tuple(src)]
+        out = _np.moveaxis(out, -1, v)
+        return TaylorPoly(b, _np.ascontiguousarray(out), degrees)
 
     def evaluate_all_one(self):
         """Sum of all coefficients, as a host scalar (reference: 582-586)."""

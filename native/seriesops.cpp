@@ -277,9 +277,133 @@ PyObject* py_log_1d(PyObject*, PyObject* args) {
     Py_RETURN_NONE;
 }
 
+// Fused Horner substitution: out = sum_i a[..., i, ...] * g^i along axis
+// v (reference subst loop, multivariate_taylor.rs:569-579), computed as
+//   res <- res (*) g + a_i            for i = sa[v]-1 .. 0
+// with the truncated product (*) done as ONE output-centric gather pass
+// per step over the few nonzeros of g (the replacement series of real
+// programs is tiny: 1 + p*v, 1 - p + p*v*u, w + c*(v-1), ...).  The
+// per-element accumulation visits g's nonzeros in flat order, matching
+// the scatter order of conv_nd / the Python Horner loop bit for bit on
+// finite inputs.
+PyObject* py_subst_horner(PyObject*, PyObject* args) {
+    PyObject *a_obj, *g_obj, *out_obj, *sa_t, *sg_t, *so_t;
+    Py_ssize_t v;
+    if (!PyArg_ParseTuple(args, "OOOOOOn", &a_obj, &sa_t, &g_obj, &sg_t,
+                          &out_obj, &so_t, &v))
+        return nullptr;
+    BufView a, g, o;
+    if (!get_f64_buffer(a_obj, &a) || !get_f64_buffer(g_obj, &g) ||
+        !get_f64_buffer(out_obj, &o, true))
+        return nullptr;
+    std::vector<int64_t> sa, sg, so;
+    if (!parse_shape(sa_t, &sa) || !parse_shape(sg_t, &sg) ||
+        !parse_shape(so_t, &so))
+        return nullptr;
+    const size_t nd = so.size();
+    if (sa.size() != nd || sg.size() != nd || v < 0 || (size_t)v >= nd) {
+        PyErr_SetString(PyExc_ValueError, "rank/axis mismatch");
+        return nullptr;
+    }
+    Py_BEGIN_ALLOW_THREADS;
+    const auto str_a = strides_of(sa);
+    const auto str_o = strides_of(so);
+    const int64_t total = numel(so);
+    // nonzeros of g as (flat-offset-in-out-strides, per-axis index, value)
+    struct Nz {
+        int64_t off;
+        std::vector<int64_t> idx;
+        double val;
+    };
+    std::vector<Nz> nzs;
+    {
+        std::vector<int64_t> gi(nd, 0);
+        const int64_t gt = numel(sg);
+        for (int64_t flat = 0; flat < gt; flat++) {
+            const double val = static_cast<const double*>(g.view.buf)[flat];
+            bool inside = true;
+            for (size_t d = 0; d < nd; d++)
+                if (gi[d] >= so[d]) { inside = false; break; }
+            if (val != 0.0 && inside) {
+                int64_t off = 0;
+                for (size_t d = 0; d < nd; d++) off += gi[d] * str_o[d];
+                nzs.push_back({off, gi, val});
+            }
+            size_t d = nd;
+            while (d > 0) {
+                d--;
+                if (++gi[d] < sg[d]) break;
+                gi[d] = 0;
+            }
+        }
+    }
+    std::vector<double> buf_a(total, 0.0), buf_b(total, 0.0);
+    double* cur = buf_a.data();
+    double* nxt = buf_b.data();
+    const double* ap = a.data();
+    const int64_t last = (int64_t)nd - 1;
+    for (int64_t i = sa[v] - 1; i >= 0; i--) {
+        // nxt[x] = sum_nz cur[x - delta] * val  (+ a-slice when x_v == 0)
+        std::vector<int64_t> x(nd, 0);
+        for (int64_t base = 0; base < total; base += so[last]) {
+            // run over the contiguous last axis
+            const int64_t run = so[last];
+            double* np_ = nxt + base;
+            for (int64_t j = 0; j < run; j++) np_[j] = 0.0;
+            for (const Nz& nz : nzs) {
+                bool ok = true;
+                for (size_t d = 0; d + 1 < nd; d++)
+                    if (x[d] < nz.idx[d]) { ok = false; break; }
+                if (!ok) continue;
+                const double* cp = cur + base - (nz.off - nz.idx[last]);
+                const double val = nz.val;
+                for (int64_t j = nz.idx[last]; j < run; j++)
+                    np_[j] += cp[j - nz.idx[last]] * val;
+            }
+            // add the a-slice at x_v == 0 (v may be the last axis)
+            if ((size_t)v == nd - 1) {
+                bool in_a = true;
+                int64_t aoff = 0;
+                for (size_t d = 0; d + 1 < nd; d++) {
+                    if (x[d] >= sa[d]) { in_a = false; break; }
+                    aoff += x[d] * str_a[d];
+                }
+                if (in_a) np_[0] += ap[aoff + i * str_a[v]];
+            } else if (x[v] == 0) {
+                bool in_a = true;
+                int64_t aoff = i * str_a[v];
+                for (size_t d = 0; d + 1 < nd; d++) {
+                    if (d == (size_t)v) continue;
+                    if (x[d] >= sa[d]) { in_a = false; break; }
+                    aoff += x[d] * str_a[d];
+                }
+                if (in_a) {
+                    const int64_t arun = sa[last] < run ? sa[last] : run;
+                    const double* arow = ap + aoff;
+                    for (int64_t j = 0; j < arun; j++)
+                        np_[j] += arow[j];
+                }
+            }
+            // advance the odometer over the leading axes
+            size_t d = nd - 1;
+            while (d > 0) {
+                d--;
+                if (++x[d] < so[d]) break;
+                x[d] = 0;
+            }
+        }
+        std::swap(cur, nxt);
+    }
+    std::memcpy(o.mut_data(), cur, (size_t)total * sizeof(double));
+    Py_END_ALLOW_THREADS;
+    Py_RETURN_NONE;
+}
+
 PyMethodDef methods[] = {
     {"conv_trunc", py_conv_trunc, METH_VARARGS,
      "Truncated n-D Cauchy product (f64, C-contiguous buffers)."},
+    {"subst_horner", py_subst_horner, METH_VARARGS,
+     "Fused Horner substitution of a small series into one axis."},
     {"div_1d", py_div_1d, METH_VARARGS,
      "Power-series division along the leading axis with trailing lanes."},
     {"exp_1d", py_exp_1d, METH_VARARGS, "Power-series exp recurrence."},
