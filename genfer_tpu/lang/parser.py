@@ -30,6 +30,9 @@ class ParseError(Exception):
 
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _NAT_RE = re.compile(r"[0-9]+")
+# whitespace + comments in one pass; the line-comment branch excludes
+# `#=` so an unterminated block comment stops the match and is reported
+_WS_RE = re.compile(r"(?:\s+|#=.*?=#|#(?!=)[^\n]*)+", re.DOTALL)
 
 
 class _Parser:
@@ -45,22 +48,13 @@ class _Parser:
         raise ParseError(f"Parse error at line {line}, column {col}: {msg}")
 
     def skip_ws(self):
-        while self.pos < len(self.text):
-            c = self.text[self.pos]
-            if c.isspace():
-                self.pos += 1
-            elif self.text.startswith("#=", self.pos):
-                end = self.text.find("=#", self.pos + 2)
-                if end < 0:
-                    self.error(
-                        "Unterminated comment: found opening `#=` but no closing `=#`"
-                    )
-                self.pos = end + 2
-            elif c == "#":
-                nl = self.text.find("\n", self.pos)
-                self.pos = len(self.text) if nl < 0 else nl
-            else:
-                break
+        m = _WS_RE.match(self.text, self.pos)
+        if m:
+            self.pos = m.end()
+        if self.text.startswith("#=", self.pos):
+            self.error(
+                "Unterminated comment: found opening `#=` but no closing `=#`"
+            )
 
     def peek_str(self, s: str) -> bool:
         self.skip_ws()

@@ -8,6 +8,7 @@ single-dispatch TPU inference viable (a traced population model is
 ~32k XLA ops; the scanned form is ~40 plus one scan body).
 """
 
+from .hmm import CompiledHMM
 from .population import CompiledPopulation, CompiledTwoPopulations
 
-__all__ = ["CompiledPopulation", "CompiledTwoPopulations"]
+__all__ = ["CompiledHMM", "CompiledPopulation", "CompiledTwoPopulations"]

@@ -300,6 +300,14 @@ class ShardedF64Backend:
     single-device; the crossover is sized so the per-device work still
     saturates the MXU.
 
+    Power-series recurrences: multivariate (>=2 effective axes) div, exp
+    and log are Newton-lifted into truncated convolutions
+    (taylor/backend.py) and therefore shard through ``conv_trunc``
+    automatically.  Single-effective-axis exp/log need no sharding: the
+    input is a vector, so the recurrence IS the only lane — there is no
+    independent work to distribute (1-axis div is different: the
+    dividend's other lanes are independent, hence sharded_div_lanes).
+
     Construct with ``ShardedF64Backend(make_mesh())`` or let the CLI build
     it via ``--backend sharded``."""
 

@@ -1759,10 +1759,15 @@ class HybridBackend(NumpyF64Backend):
     #: minimum number of multiply-adds before a conv is offloaded.
     #: Offload pays a device roundtrip (measured ~0.3-0.6 s through the
     #: remote TPU tunnel: ~100-150 MB/s transfers + dispatch latency) and
-    #: a per-shape compile; the native host kernel sustains ~7 GFLOP/s,
-    #: so only ops where the host would spend >= ~1 s are worth it.
-    #: Shapes are bucketed to bound the number of compiles.
-    CONV_OFFLOAD_FLOPS = 6_000_000_000
+    #: a per-shape compile; the native host kernel sustains 2-8 GFLOP/s
+    #: (load/cache dependent; bench-results.json "scaling" has the
+    #: measured sweep), so the breakeven against a 0.5 s roundtrip is
+    #: ~2-4e9 flops; 6e9 keeps a safety margin for warm-cache hosts.
+    #: On a co-located accelerator (no tunnel) the breakeven is ~100x
+    #: lower — set GENFER_CONV_OFFLOAD_FLOPS accordingly.
+    CONV_OFFLOAD_FLOPS = int(
+        float(os.environ.get("GENFER_CONV_OFFLOAD_FLOPS", 6e9))
+    )
     #: minimum length before a 1-axis recurrence is offloaded (the
     #: triangular solve is O(n^2): host is faster than one roundtrip
     #: until n is in the tens of thousands)

@@ -103,6 +103,40 @@ def test_two_populations_scan_matches_interpreter():
             assert abs(got[k] - v) / v <= 1e-10, (k, got[k], v)
 
 
+def test_hmm_scan_matches_committed_golden():
+    """The scan-compiled 2-state Poisson HMM against the reference's
+    committed 30-observation benchmark output (approx/hmm/hmm.expect):
+    the full Rate2 posterior to <=1e-9 relative.  (The interpreter needs
+    ~5 minutes for this model; the scan pipeline compiles + runs in
+    seconds and its graph is independent of the sequence length.)"""
+    from pathlib import Path
+
+    from genfer_tpu.models import CompiledHMM
+
+    expect = Path(
+        "/root/reference/benchmarks/neurips2023/approx/hmm/hmm.expect"
+    )
+    sgcl = expect.with_suffix(".sgcl")
+    if not expect.exists():
+        pytest.skip("reference corpus not mounted")
+    counts = [
+        int(x) for x in re.search(r"\[(.*?)\]", sgcl.read_text())
+        .group(1).split(",")
+    ]
+    ref = {
+        int(m.group(1)): float(m.group(2))
+        for m in re.finditer(
+            r"Unnormalized: p\((\d+)\)\s*=\s*([\d.e+-]+)",
+            expect.read_text(),
+        )
+    }
+    h = CompiledHMM(n_rates=256, max_steps=32, limit=max(ref) + 1)
+    got = np.asarray(h.probs(np.asarray(counts)))
+    for k, v in ref.items():
+        if v > 1e-290:
+            assert abs(got[k] - v) / v <= 1e-9, (k, got[k], v)
+
+
 def test_population_scan_padding_and_batch():
     """Shorter datasets pad with masked steps; a batch is one vmapped
     dispatch and each row matches its own single run."""
