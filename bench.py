@@ -316,11 +316,55 @@ def bench_population_scan(limit=256, steps=20, batch=64):
         print(
             f"  hmm-scan (30 obs, 256 rates): {hb*1e3:.1f} ms steady, "
             f"max rel dev vs committed golden {dev:.1e} "
-            f"(interpreter: minutes)",
+            f"(interpreter: ~7 s/dataset)",
             file=sys.stderr,
         )
         out["hmm"] = {
             "steady_ms": round(hb * 1e3, 2),
+            "max_rel_dev_vs_golden": dev,
+        }
+    # the coal-mining mixture benchmark (109 observations; the
+    # interpreter needs ~20 minutes on it - see the bench_suite skip)
+    mix = Path(
+        "/root/reference/benchmarks/neurips2023/approx/mixture"
+    )
+    if (mix / "mixture.expect").exists():
+        from genfer_tpu.models import CompiledMixture
+
+        sgcl = (mix / "mixture.sgcl").read_text()
+        counts = [
+            int(m.group(1))
+            for m in re.finditer(
+                r"observe (\d+) ~ Poisson\(0\.1 \* Rate1\)", sgcl
+            )
+        ]
+        ref = {
+            int(m.group(1)): float(m.group(2))
+            for m in re.finditer(
+                r"Unnormalized: p\((\d+)\)\s*=\s*([\d.e+-]+)",
+                (mix / "mixture.expect").read_text(),
+            )
+        }
+        mm = CompiledMixture(n_rates=320, max_steps=128,
+                             limit=max(ref) + 1)
+        got = np.asarray(mm.probs(np.asarray(counts)))  # compile
+        mb = None
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            got = np.asarray(mm.probs(np.asarray(counts)))
+            dt = _t.perf_counter() - t0
+            mb = dt if mb is None else min(mb, dt)
+        dev = max(
+            abs(got[k] - v) / v for k, v in ref.items() if v > 1e-290
+        )
+        print(
+            f"  mixture-scan (109 obs, 320 rates): {mb*1e3:.1f} ms "
+            f"steady, max rel dev vs committed golden {dev:.1e} "
+            f"(interpreter: ~20 min)",
+            file=sys.stderr,
+        )
+        out["mixture"] = {
+            "steady_ms": round(mb * 1e3, 2),
             "max_rel_dev_vs_golden": dev,
         }
     return out
@@ -427,11 +471,22 @@ def bench_suite(num_runs=1):
             run_cli,
         )
 
+        # mixture's interpreter run needs ~20 minutes (it is golden-
+        # verified in the pytest suite); skipping it here keeps the
+        # bench artifact reproducible in one sitting
+        slow_skip = {"mixture": "~20 min interpreter run; golden-verified in pytest suite"}
         for model_dir in sorted(p for p in approx.iterdir() if p.is_dir()):
             name = model_dir.name
             fp = model_dir / f"{name}.sgcl"
             exp = model_dir / f"{name}.expect"
             if not fp.exists() or not exp.exists():
+                continue
+            if name in slow_skip:
+                results[f"approx/{name}"] = {
+                    "fp": f"skipped: {slow_skip[name]}"
+                }
+                print(f"  approx/{name} [fp]: skipped "
+                      f"({slow_skip[name]})", file=sys.stderr)
                 continue
             flags = _first_line_flags(fp)
             if flags is None:  # marked `skip integration test`
@@ -586,34 +641,49 @@ def main():
             f"{host_gflops:.2f} GFLOP/s",
             file=sys.stderr,
         )
-    extra = {}
-    if args.pallas:
-        extra["pallas_kernel"] = {
-            order: bench_pallas_kernel(order=order) for order in (256, 512)
-        }
-    if args.serving:
-        extra["serving"] = bench_serving()
-    if args.scan:
-        extra["population_scan"] = bench_population_scan()
-    if args.suite:
-        extra["suite"] = bench_suite()
-    if args.scaling:
-        extra["scaling"] = bench_order_scaling()
-    if extra:
+    def save(extra):
+        # merge + write after every phase: a crashed later phase (the
+        # remote TPU worker can exhaust memory in long processes) must
+        # not lose the completed ones, and partial runs (--scan alone)
+        # must not erase other sections of the committed artifact
         import pathlib
 
-        out = {
+        path = pathlib.Path("bench-results.json")
+        out = {}
+        if path.exists():
+            try:
+                out = json.loads(path.read_text())
+            except ValueError:
+                out = {}
+        out.update({
             "kernel_gflops": round(gflops, 3),
             "kernel_order": args.order,
             "host_kernel_gflops": (
                 round(host_gflops, 3) if host_gflops is not None else None
             ),
             **extra,
+        })
+        path.write_text(json.dumps(out, indent=2) + "\n")
+        print("updated bench-results.json", file=sys.stderr)
+
+    extra = {}
+    if args.pallas:
+        extra["pallas_kernel"] = {
+            order: bench_pallas_kernel(order=order) for order in (256, 512)
         }
-        pathlib.Path("bench-results.json").write_text(
-            json.dumps(out, indent=2) + "\n"
-        )
-        print("wrote bench-results.json", file=sys.stderr)
+        save(extra)
+    if args.serving:
+        extra["serving"] = bench_serving()
+        save(extra)
+    if args.scan:
+        extra["population_scan"] = bench_population_scan()
+        save(extra)
+    if args.suite:
+        extra["suite"] = bench_suite()
+        save(extra)
+    if args.scaling:
+        extra["scaling"] = bench_order_scaling()
+        save(extra)
     vs = gflops / host_gflops if host_gflops else gflops
     print(
         json.dumps(

@@ -8,7 +8,8 @@ single-dispatch TPU inference viable (a traced population model is
 ~32k XLA ops; the scanned form is ~40 plus one scan body).
 """
 
-from .hmm import CompiledHMM
+from .hmm import CompiledHMM, CompiledMixture
 from .population import CompiledPopulation, CompiledTwoPopulations
 
-__all__ = ["CompiledHMM", "CompiledPopulation", "CompiledTwoPopulations"]
+__all__ = ["CompiledHMM", "CompiledMixture", "CompiledPopulation",
+           "CompiledTwoPopulations"]

@@ -8,15 +8,20 @@ anti-diagonal reduction (backend._conv_dense); measured on a v5e chip it
 sustains ~51 GFLOP/s (f64 emulation) / ~311 GFLOP/s (f32).
 
 This kernel keeps everything in VMEM and builds the Toeplitz *tiles* on
-the fly with a single strided ``pltpu.roll`` per (row-block, tile):
+the fly:
 
     out tile C[K0:K0+128, K1:K1+128]
-      = sum_{j0} AW_{j0} @ ( sum over i1-tiles T(j0, K1/128 - t) )
-    AW_{j0}      = a[K0-j0 : K0-j0+128, :]           (dynamic row slice)
-    T(j0, m)[i1', c] = b[j0, 128*m + c - i1']        (128x128 Toeplitz,
-                       built as roll(broadcast(w), 129, stride=1))
+      = sum_{j0} sum_{i1-tiles t} AW_{j0}[:, t] @ T(j0, K1/128 - t)
+    AW_{j0}      = a[K0-j0 : K0-j0+128, :] — the window slides by one
+                   row per j0, so an aligned 144-row slab is loaded,
+                   row-rotated into place (pltpu.roll on the sublane
+                   axis) and staged in VMEM scratch
+    T(j0, m)[i1', c] = b[j0, 128*m + c - i1'] — three aligned lane
+                   tiles of the padded b row, rotated into Toeplitz
+                   form by one strided roll (shift 256 + i1')
 
-MXU work is (128,128)@(128,128) matmuls at f32-HIGHEST precision.
+MXU work is (128,128)@(128,128) matmuls at f32-HIGHEST precision; all
+in-kernel index arithmetic is i32 (Mosaic rejects i64).
 
 Precision (measured on v5e, order-256 random operands, vs f64):
   * f32 DEFAULT (one bf16 pass):   ~2.5e-3  max rel err
