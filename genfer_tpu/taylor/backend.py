@@ -1057,10 +1057,14 @@ class JaxF64Backend(Backend):
         return self.jnp.sum(a)
 
     def scale_axis(self, arr, axis, factors):
-        f = self.jnp.asarray(
-            [x.v if isinstance(x, F64) else float(x) for x in factors],
-            dtype=self.dtype,
-        )
+        if isinstance(factors, np.ndarray):
+            # cached factor vectors (tensorpoly._falling_factors_f64)
+            f = self.jnp.asarray(factors, dtype=self.dtype)
+        else:
+            f = self.jnp.asarray(
+                [x.v if isinstance(x, F64) else float(x) for x in factors],
+                dtype=self.dtype,
+            )
         shape = [1] * arr.ndim
         shape[axis] = len(factors)
         return arr * f.reshape(shape)

@@ -18,10 +18,14 @@ not from computed tensors).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Sequence
 
-from .backend import Backend
+import numpy as np
+
+from ..numbers.scalar import F64
+from .backend import Backend, JaxF64Backend
 
 import os
 
@@ -451,13 +455,16 @@ class TaylorPoly:
             return TaylorPoly.zero_with(b, degrees)
         sliced = b.slice_axis(self.coeffs, v, n, self.coeffs_shape()[v])
         m = b.shape(sliced)[v]
-        ff = T.one()
-        for i in range(1, n + 1):
-            ff = ff * T.from_u32(i)
-        factors = []
-        for k in range(m):
-            factors.append(ff)
-            ff = ff * T.from_u32(n + k + 1) / T.from_u32(k + 1)
+        if T is F64 and isinstance(b, JaxF64Backend):
+            factors = _falling_factors_f64(n, m)
+        else:
+            ff = T.one()
+            for i in range(1, n + 1):
+                ff = ff * T.from_u32(i)
+            factors = []
+            for k in range(m):
+                factors.append(ff)
+                ff = ff * T.from_u32(n + k + 1) / T.from_u32(k + 1)
         result = b.scale_axis(sliced, v, factors)
         return TaylorPoly(b, result, degrees)
 
@@ -475,11 +482,14 @@ class TaylorPoly:
             return TaylorPoly.zero_with(b, degrees)
         sliced = b.slice_axis(self.coeffs, v, n, self.coeffs_shape()[v])
         m = b.shape(sliced)[v]
-        factor = T.one()
-        factors = [T.one()]
-        for k in range(1, m):
-            factor = factor * T.from_u32(n + k) / T.from_u32(k)
-            factors.append(factor)
+        if T is F64 and isinstance(b, JaxF64Backend):
+            factors = _binom_factors_f64(n, m)
+        else:
+            factor = T.one()
+            factors = [T.one()]
+            for k in range(1, m):
+                factor = factor * T.from_u32(n + k) / T.from_u32(k)
+                factors.append(factor)
         result = b.scale_axis(sliced, v, factors)
         return TaylorPoly(b, result, degrees)
 
@@ -556,11 +566,14 @@ class TaylorPoly:
                     if d != INF_DEGREE and shape[ax] > d:
                         coeffs = b.slice_axis(coeffs, ax, 0, _as_int(d))
                 shape = b.shape(coeffs)
-                factor = T.one()
-                factors = []
-                for _ in range(shape[v]):
-                    factors.append(factor)
-                    factor = factor * m
+                if T is F64 and isinstance(b, JaxF64Backend):
+                    factors = _power_factors_f64(m.v, shape[v])
+                else:
+                    factor = T.one()
+                    factors = []
+                    for _ in range(shape[v]):
+                        factors.append(factor)
+                        factor = factor * m
                 result = b.scale_axis(coeffs, v, factors)
                 return TaylorPoly(b, result, degrees, const0=self.const0)
         fast = self._subst_shift_scale(v, subst, degrees)
@@ -1074,6 +1087,50 @@ def _size(shape) -> int:
     for s in shape:
         out *= int(s)
     return out
+
+
+@functools.lru_cache(maxsize=8192)
+def _falling_factors_f64(n: int, m: int):
+    """Derivative scale factors n!..(n+k)!/k! as a cached numpy vector.
+
+    Computed with the exact op sequence of the generic host-scalar loop
+    (sequential IEEE mul/div) so the result is bit-identical to it; the
+    profile showed the per-call scalar-wrapper loop costing millions of
+    Python ops on observation-chain-heavy models (mixture: 10k calls x
+    ~200 factors)."""
+    ff = 1.0
+    for i in range(1, n + 1):
+        ff = ff * float(i)
+    out = np.empty(m)
+    for k in range(m):
+        out[k] = ff
+        ff = ff * float(n + k + 1) / float(k + 1)
+    return out
+
+
+@functools.lru_cache(maxsize=8192)
+def _power_factors_f64(m: float, count: int):
+    """Diagonal-substitution powers 1, m, m^2, ... as a cached numpy
+    vector (sequential IEEE muls, bit-identical to the scalar loop)."""
+    out = np.empty(count)
+    f = 1.0
+    for k in range(count):
+        out[k] = f
+        f = f * m
+    return out
+
+
+@functools.lru_cache(maxsize=8192)
+def _binom_factors_f64(n: int, m: int):
+    """Coefficient-extraction (binomial) factors, cached; see
+    _falling_factors_f64."""
+    factor = 1.0
+    out = np.empty(max(m, 1))
+    out[0] = 1.0
+    for k in range(1, m):
+        factor = factor * float(n + k) / float(k)
+        out[k] = factor
+    return out[:m]
 
 
 def _sat_sub(d, n):
