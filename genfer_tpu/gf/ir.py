@@ -859,31 +859,59 @@ def _eval_taylor_coeff_at_zero(g, v, order, backend, inputs, degree_p1, cache):
     if rec is not None:
         # compound Poisson (discrete parameter): iterate D(G) = λ·y·G'(y)
         # then substitute y -> e^(-λ)·y, folding 1/n! per step
-        # (reference: generating_function.rs:678-694)
+        # (reference: generating_function.rs:678-694).
+        # The chain is applied as a direct TensorPoly loop instead of
+        # building 3·order dynamic GenFun nodes per (re-)evaluation: the
+        # op sequence (derivative, multiply by the var polynomial,
+        # scalar scale, then the diagonal e^{-λ·i} substitution scaling)
+        # is identical to what evaluating the rewritten DAG performs, so
+        # results match bit for bit while skipping the node allocation
+        # and per-node cache bookkeeping that dominated observation-chain
+        # models (mixture: 218 observations, re-evaluated O(n) times
+        # each under distinct substituted inputs).
         param_var, lam, inner = rec
-        gf = inner
+        a = (-lam).exp()
+        # the substitution's Taylor series around the current input:
+        # a·(x0 + dy) — its constant term becomes the new input point
+        sub = TaylorPoly.from_scalar(backend, a) * TaylorPoly.var(
+            backend, param_var, inputs[param_var], degree_p1
+        )
+        csub = _const_term_host(sub)
+        sub0 = sub - TaylorPoly.from_scalar(backend, csub)
+        new_inputs = list(inputs)
+        new_inputs[param_var] = csub
+        gpoly = inner.eval_with(backend, new_inputs, degree_p1 + order, cache)
+        inner_const0 = gpoly.const0
         for k in range(1, order + 1):
-            gf = (
-                gf.derive(param_var, 1)
-                * GenFun.var_(param_var)
-                * GenFun.constant(lam / T.from_u32(k))
-            )
-        replacement = GenFun.constant((-lam).exp()) * GenFun.var_(param_var)
-        gf = gf.substitute_var(param_var, replacement)
-        result = gf.eval_with(backend, inputs, degree_p1, cache)
+            tgt = degree_p1 + order - k
+            var_poly = TaylorPoly.var(backend, param_var, csub, tgt)
+            gpoly = (
+                gpoly.derivative(param_var, 1).truncate_to_degree_p1(tgt)
+                * var_poly
+            ) * TaylorPoly.from_scalar(backend, lam / T.from_u32(k))
+        gpoly = gpoly.truncate_to_degree_p1(degree_p1)
+        result = gpoly.subst_var(param_var, sub0)
+        if result.const0 is None:
+            result.const0 = gpoly.const0 if order > 0 else inner_const0
         return result.truncate_to_degree_p1(degree_p1)
     rec = _recognize_continuous_poisson_observation(g, v)
     if rec is not None:
         # compound Poisson (continuous parameter): D(G) = λ·G'(y), then
-        # substitute y -> y - λ (reference: 695-711)
+        # substitute y -> y - λ (reference: 695-711).  Same fused
+        # evaluation as the discrete case; the final substitution is
+        # y -> x0 - λ + dy (slope one), i.e. only the evaluation point
+        # moves — no coefficient rescaling is needed.
         param_var, lam, inner = rec
-        gf = inner
+        c0 = inputs[param_var] + (-lam)
+        new_inputs = list(inputs)
+        new_inputs[param_var] = c0
+        gpoly = inner.eval_with(backend, new_inputs, degree_p1 + order, cache)
         for k in range(1, order + 1):
-            gf = gf.derive(param_var, 1) * GenFun.constant(lam / T.from_u32(k))
-        replacement = GenFun.var_(param_var) - GenFun.constant(lam)
-        gf = gf.substitute_var(param_var, replacement)
-        result = gf.eval_with(backend, inputs, degree_p1, cache)
-        return result.truncate_to_degree_p1(degree_p1)
+            tgt = degree_p1 + order - k
+            gpoly = gpoly.derivative(param_var, 1).truncate_to_degree_p1(
+                tgt
+            ) * TaylorPoly.from_scalar(backend, lam / T.from_u32(k))
+        return gpoly.truncate_to_degree_p1(degree_p1)
     rec = _recognize_negative_binomial_observation(g, v)
     if rec is not None:
         # NegBinomial via Lah-number recurrence (reference: 712-751)
