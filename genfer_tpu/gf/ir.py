@@ -49,7 +49,8 @@ class GenFun:
     """One node of the generating-function DAG (17 node kinds,
     reference: generating_function.rs:301-323)."""
 
-    __slots__ = ("kind", "args", "var", "order", "orders", "value", "poly")
+    __slots__ = ("kind", "args", "var", "order", "orders", "value", "poly",
+                 "_uv")
 
     def __init__(self, kind, args=(), var=None, order=None, orders=None,
                  value=None, poly=None):
@@ -60,6 +61,32 @@ class GenFun:
         self.orders = orders      # list of ints (TaylorPolynomial)
         self.value = value        # host scalar (Const)
         self.poly = poly          # host nested coeff lists (Polynomial)
+        # used_vars computed eagerly: children exist before parents, so
+        # this is O(len(args)) per node and used_vars() is O(1) — the
+        # per-call DAG walk was O(whole DAG) per observe (12k observes in
+        # switchpoint made GF construction quadratic).
+        if kind == VAR:
+            uv = var + 1
+        elif kind == CONST:
+            uv = 0
+        elif kind == POLYNOMIAL:
+            uv = order  # ndim
+        elif kind == SUBST:
+            g, subst = args
+            uv = g._uv
+            if var + 1 == uv:
+                uv = var
+            uv = max(uv, subst._uv)
+        elif kind == TAYLOR_COEFF_AT_ZERO:
+            uv = args[0]._uv
+            if var + 1 == uv:
+                uv = var
+        else:
+            uv = 0
+            for a in args:
+                if a._uv > uv:
+                    uv = a._uv
+        self._uv = uv
 
     # -- smart constructors (reference: generating_function.rs:49-149) --
     @staticmethod
@@ -229,37 +256,12 @@ class GenFun:
 
     # -- used variables (reference: generating_function.rs:428-449) -----
     def used_vars(self, cache: Optional[dict] = None) -> int:
-        """Return num_vars = max used var id + 1 (reference VarRange)."""
-        if cache is None:
-            cache = {}
-        key = id(self)
-        hit = cache.get(key)
-        if hit is not None and hit[0] is self:
-            return hit[1]
-        k = self.kind
-        if k == VAR:
-            out = self.var + 1
-        elif k == CONST:
-            out = 0
-        elif k == POLYNOMIAL:
-            out = self.order  # ndim
-        elif k == SUBST:
-            g, subst = self.args
-            gv = g.used_vars(cache)
-            if self.var + 1 == gv:
-                gv = self.var
-            out = max(gv, subst.used_vars(cache))
-        elif k == TAYLOR_COEFF_AT_ZERO:
-            gv = self.args[0].used_vars(cache)
-            if self.var + 1 == gv:
-                gv = self.var
-            out = gv
-        else:
-            out = 0
-            for a in self.args:
-                out = max(out, a.used_vars(cache))
-        cache[key] = (self, out)
-        return out
+        """Return num_vars = max used var id + 1 (reference VarRange).
+
+        O(1): computed eagerly at construction (``_uv``); the ``cache``
+        parameter is kept for API compatibility and ignored.
+        """
+        return self._uv
 
     # -- pretty printer (reference: generating_function.rs:330-426) -----
     def _precedence(self) -> int:

@@ -1,0 +1,1033 @@
+"""Generic scan compilation of repeated-observation SGCL programs.
+
+The approx-benchmark family (reference ``src/bin/generate_*.rs``:
+hmm, mixture, population, population_modified, two_populations) all
+share one shape: a short prologue followed by a long straight-line
+repetition of one observation block whose iterations differ only in
+numeric constants (the data).  The generic GF interpreter — like the
+reference's (``src/generating_function.rs:670-765``) — rebuilds and
+re-evaluates per-iteration expression nodes, so cost grows with the
+dataset.
+
+This module detects that repetition in the *parsed AST* (no
+hand-modeling) and compiles the whole program into value-space "mass
+semantics" on a truncated integer grid, with the repeated block as one
+``jax.lax.scan`` over the per-iteration constants:
+
+* state: the joint unnormalized mass tensor ``g[v0, v1, ...]`` over the
+  program's integer-valued variables (for integer-valued programs the
+  PGF coefficient vector IS the mass vector, so this matches the GF
+  semantics up to the same truncation the reference's Taylor engine
+  applies at its evaluation degree);
+* every statement is a (multi-)linear operator on ``g``: fresh samples
+  are marginalize+outer, ``+~`` increments are truncated convolutions
+  (gather-free Toeplitz matmuls), observations are diagonal likelihood
+  reweightings, if/else blocks split on the event weight and recombine;
+* per-iteration real parameters become HOST-precomputed f64 pmf rows
+  fed through the scan (TPU numeric policy: no transcendentals on
+  device — see CLAUDE.md), observation counts become host-built weight
+  rows, and the carry max-rescales by powers of two with the final
+  ``2**logz`` applied on the host;
+* truncation is self-validating: the program is run at order N and 2N
+  and accepted only when the result marginals agree to ~1e-13, doubling
+  otherwise (``compile_scan``).
+
+Programs outside the supported fragment (continuous distributions,
+``while`` loops, nested ``normalize``, no detectable repetition, ...)
+raise :class:`UnsupportedForScan`; the CLI falls back to the generic
+interpreter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from fractions import Fraction
+from typing import Callable, Optional
+
+import numpy as np
+
+from .lang import ast
+from .semantics.supportset import SupportSet, VarSupport
+from .semantics.support_transform import SupportTransformer
+
+
+class UnsupportedForScan(Exception):
+    """The program (or a statement in it) is outside the scan-compilable
+    fragment; callers should fall back to the generic interpreter."""
+
+
+@dataclass(frozen=True)
+class Slot:
+    """A per-iteration data slot in the detected block template."""
+
+    idx: int
+
+
+# ----------------------------------------------------------------------
+# structural signatures: statements serialized with literal positions
+# (PosRatio values, observe data) replaced by markers
+# ----------------------------------------------------------------------
+
+def _sig_lits(obj, lits: list) -> str:
+    if isinstance(obj, ast.PosRatio):
+        lits.append(Fraction(obj.numer, obj.denom) if obj.denom else None)
+        return "R"
+    if isinstance(obj, ast.ParamRatio):
+        return f"$({obj.name},{obj.complemented})"
+    if isinstance(obj, ast.DataFromDist):
+        lits.append(obj.data)
+        return "D(" + _sig_lits(obj.dist, lits) + ")"
+    if dataclasses.is_dataclass(obj):
+        parts = [type(obj).__name__]
+        for f in dataclasses.fields(obj):
+            parts.append(_sig_lits(getattr(obj, f.name), lits))
+        return "(" + ",".join(parts) + ")"
+    if isinstance(obj, tuple):
+        return "[" + ",".join(_sig_lits(x, lits) for x in obj) + "]"
+    return repr(obj)
+
+
+def _rebuild(obj, next_lit: Callable):
+    """Rebuild ``obj`` visiting literal positions in the same order as
+    :func:`_sig_lits`, replacing each with ``next_lit(original)`` (which
+    returns either the original literal or a :class:`Slot`)."""
+    if isinstance(obj, ast.PosRatio):
+        return next_lit(obj)
+    if isinstance(obj, ast.ParamRatio):
+        return obj
+    if isinstance(obj, ast.DataFromDist):
+        data = next_lit(obj.data)
+        return ast.DataFromDist(data, _rebuild(obj.dist, next_lit))
+    if dataclasses.is_dataclass(obj):
+        kw = {
+            f.name: _rebuild(getattr(obj, f.name), next_lit)
+            for f in dataclasses.fields(obj)
+        }
+        return type(obj)(**kw)
+    if isinstance(obj, tuple):
+        return tuple(_rebuild(x, next_lit) for x in obj)
+    return obj
+
+
+@dataclass
+class Repetition:
+    prologue: tuple
+    template: tuple      # statements with varying literals -> Slot
+    data: list           # data[j] = np.ndarray over iterations (slot j)
+    n_iters: int
+    epilogue: tuple
+
+
+def detect_repetition(stmts, min_iters: int = 4) -> Optional[Repetition]:
+    """Find the largest straight-line repetition of a block template in
+    the top-level statement list (iterations differ only in numeric
+    literals).  Returns None when no block repeats >= min_iters times."""
+    sigs, lits = [], []
+    for s in stmts:
+        ls: list = []
+        sigs.append(_sig_lits(s, ls))
+        lits.append(ls)
+    n = len(stmts)
+    best = None  # (coverage, -period, start, period, count)
+    max_p = min(32, n // max(min_iters, 2))
+    for p in range(1, max_p + 1):
+        i = 0
+        while i + 2 * p <= n:
+            if all(sigs[i + k] == sigs[i + p + k] for k in range(p)):
+                count = 2
+                while i + (count + 1) * p <= n and all(
+                    sigs[i + k] == sigs[i + count * p + k] for k in range(p)
+                ):
+                    count += 1
+                cov = count * p
+                if count >= min_iters:
+                    cand = (cov, -p, i, p, count)
+                    if best is None or cand[:2] > best[:2]:
+                        best = cand
+                i += count * p
+            else:
+                i += 1
+    if best is None:
+        return None
+    _, _, start, p, count = best
+    # per-iteration literal rows (concatenated over the p statements)
+    rows = [
+        sum((lits[start + it * p + k] for k in range(p)), [])
+        for it in range(count)
+    ]
+    n_slots = len(rows[0])
+    varying = [
+        any(rows[it][j] != rows[0][j] for it in range(count))
+        for j in range(n_slots)
+    ]
+    data = []
+    slot_of_pos = {}
+    for j in range(n_slots):
+        if varying[j]:
+            vals = [rows[it][j] for it in range(count)]
+            if any(v is None for v in vals):
+                return None  # 0-denominator ratio; leave to interpreter
+            arr = np.asarray([float(v) for v in vals], dtype=np.float64)
+            slot_of_pos[j] = len(data)
+            data.append(arr)
+    pos = iter(range(n_slots))
+    template = tuple(
+        _rebuild(
+            stmts[start + k],
+            lambda orig: (
+                Slot(slot_of_pos[j]) if varying[j := next(pos)] else orig
+            ),
+        )
+        for k in range(p)
+    )
+    return Repetition(
+        prologue=tuple(stmts[:start]),
+        template=template,
+        data=data,
+        n_iters=count,
+        epilogue=tuple(stmts[start + count * p:]),
+    )
+
+
+# ----------------------------------------------------------------------
+# host-side pmf/kernel builders (real f64; stable recurrences, no
+# device transcendentals — TPU numeric policy)
+# ----------------------------------------------------------------------
+
+def _pois_vec(lam: float, n: int) -> np.ndarray:
+    out = np.zeros(n)
+    out[0] = math.exp(-lam)
+    for j in range(1, n):
+        out[j] = out[j - 1] * lam / j
+    return out
+
+
+def _geom_vec(p: float, n: int) -> np.ndarray:
+    return p * (1.0 - p) ** np.arange(n, dtype=np.float64)
+
+
+def _bern_vec(p: float, n: int) -> np.ndarray:
+    out = np.zeros(max(n, 2))
+    out[0], out[1] = 1.0 - p, p
+    return out[:n]
+
+
+def _binom_vec(trials: int, p: float, n: int) -> np.ndarray:
+    out = np.zeros(n)
+    q = 1.0 - p
+    w = q ** trials
+    for k in range(min(trials, n - 1) + 1):
+        out[k] = w
+        if k < trials:
+            w = w * (trials - k) / (k + 1) * (p / q) if q > 0 else 0.0
+    if q == 0.0:  # degenerate p=1
+        out[:] = 0.0
+        if trials < n:
+            out[trials] = 1.0
+    return out
+
+
+def _negbinom_vec(r: int, p: float, n: int) -> np.ndarray:
+    """Failures before the r-th success, success prob p:
+    pmf(k) = C(k+r-1, k) p^r (1-p)^k (reference ppl.rs NegBinomial pgf
+    (p/(1-(1-p)x))^r)."""
+    out = np.zeros(n)
+    if r == 0:
+        out[0] = 1.0
+        return out
+    out[0] = p ** r
+    for k in range(1, n):
+        out[k] = out[k - 1] * (k + r - 1) / k * (1.0 - p)
+    return out
+
+
+def _uniform_vec(start: int, end: int, n: int) -> np.ndarray:
+    out = np.zeros(n)
+    w = 1.0 / (end - start)
+    out[max(0, start):max(0, min(end, n))] = w
+    return out
+
+
+def _dirac_vec(v: int, n: int) -> np.ndarray:
+    out = np.zeros(n)
+    if 0 <= v < n:
+        out[v] = 1.0
+    return out
+
+
+def _categorical_vec(ps, n: int) -> np.ndarray:
+    out = np.zeros(n)
+    for i, p in enumerate(ps[:n]):
+        out[i] = p
+    return out
+
+
+def _pascal_matrix(n_src: int, n_dst: int, p: float) -> np.ndarray:
+    """K[s, d] = C(s, d) p^d (1-p)^(s-d) — Binomial(s, p) pmf rows."""
+    K = np.zeros((n_src, n_dst))
+    K[0, 0] = 1.0
+    for i in range(1, n_src):
+        K[i, 0] = K[i - 1, 0] * (1.0 - p)
+        hi = min(i, n_dst - 1)
+        K[i, 1:hi + 1] = (
+            K[i - 1, 1:hi + 1] * (1.0 - p) + K[i - 1, 0:hi] * p
+        )
+        if i < n_dst:
+            K[i, i] = p ** i
+    return K
+
+
+def _pois_rate_kernel(f: float, n_src: int, n_dst: int) -> np.ndarray:
+    """K[s, d] = Poisson(d; f*s)."""
+    lam = f * np.arange(n_src, dtype=np.float64)
+    K = np.zeros((n_src, n_dst))
+    K[:, 0] = np.exp(-lam)
+    for d in range(1, n_dst):
+        K[:, d] = K[:, d - 1] * lam / d
+    return K
+
+
+def _negbinom_var_kernel(p: float, n_src: int, n_dst: int) -> np.ndarray:
+    """K[s, d] = NegBinomial(d; r=s, p)."""
+    K = np.zeros((n_src, n_dst))
+    for s in range(n_src):
+        K[s] = _negbinom_vec(s, p, n_dst)
+    return K
+
+
+# observation weight rows (likelihood of observing count c per grid value)
+
+def _obs_pois_rate_row(c: int, f: float, n: int) -> np.ndarray:
+    """row[s] = Poisson(c; f*s) by the stable ratio recurrence (same
+    convention as the committed scan families)."""
+    lam = f * np.arange(n, dtype=np.float64)
+    out = np.exp(-lam)
+    for k in range(1, c + 1):
+        out = out * lam / k
+    return out
+
+
+def _obs_binom_trials_row(c: int, rho: float, n: int) -> np.ndarray:
+    """row[s] = C(s, c) rho^c (1-rho)^(s-c) for s >= c else 0, by the
+    cumulative-ratio recurrence (exact nonnegative products)."""
+    out = np.zeros(n)
+    if c >= n:
+        return out
+    out[c] = rho ** c
+    for s in range(c + 1, n):
+        out[s] = out[s - 1] * s / (s - c) * (1.0 - rho)
+    return out
+
+
+def _obs_negbinom_var_row(c: int, p: float, n: int) -> np.ndarray:
+    out = np.zeros(n)
+    for s in range(n):
+        if s == 0:
+            out[s] = 1.0 if c == 0 else 0.0
+        else:
+            v = p ** s
+            for k in range(1, c + 1):
+                v = v * (k + s - 1) / k * (1.0 - p)
+            out[s] = v
+    return out
+
+
+def _const_dist_pmf(dist, c: int) -> float:
+    """pmf at integer c of a var-free distribution (host f64)."""
+    if isinstance(dist, ast.Bernoulli):
+        p = float(Fraction(dist.p.numer, dist.p.denom))
+        return p if c == 1 else (1.0 - p) if c == 0 else 0.0
+    if isinstance(dist, ast.Poisson):
+        lam = float(Fraction(dist.rate.numer, dist.rate.denom))
+        return _pois_vec(lam, c + 1)[c]
+    if isinstance(dist, ast.Geometric):
+        p = float(Fraction(dist.p.numer, dist.p.denom))
+        return p * (1.0 - p) ** c
+    if isinstance(dist, ast.Binomial):
+        p = float(Fraction(dist.p.numer, dist.p.denom))
+        return _binom_vec(dist.n, p, c + 1)[c]
+    if isinstance(dist, ast.NegBinomial):
+        p = float(Fraction(dist.p.numer, dist.p.denom))
+        return _negbinom_vec(dist.n, p, c + 1)[c]
+    if isinstance(dist, ast.UniformDisc):
+        return 1.0 / (dist.end - dist.start) if dist.start <= c < dist.end else 0.0
+    if isinstance(dist, ast.Dirac):
+        v = dist.a.as_integer()
+        if v is None:
+            raise UnsupportedForScan("non-integer Dirac observation")
+        return 1.0 if c == v else 0.0
+    if isinstance(dist, ast.Categorical):
+        if c < len(dist.rs):
+            r = dist.rs[c]
+            return float(Fraction(r.numer, r.denom))
+        return 0.0
+    raise UnsupportedForScan(f"observation from {dist}")
+
+
+# ----------------------------------------------------------------------
+# grid sizing from support analysis
+# ----------------------------------------------------------------------
+
+_FINITE_CAP = 4096
+
+
+def grid_sizes(program: ast.Program, order: int) -> list:
+    """Per-variable axis sizes: the running join of each variable's
+    support across every statement (finite bounds kept exact, infinite
+    supports truncated at ``order``)."""
+    nv = program.used_vars()
+    bound = [1] * nv
+    infinite = [False] * nv
+
+    class _Absorb(SupportTransformer):
+        def transform_statement(self, stmt, init):
+            out = super().transform_statement(stmt, init)
+            for v in range(min(nv, out.num_vars())):
+                s = out[v]
+                if s.is_empty():
+                    continue
+                if not s.is_discrete():
+                    raise UnsupportedForScan(
+                        f"continuous support for {ast.var_name(v)}"
+                    )
+                rng = s.finite_nonempty_range()
+                if rng is None:
+                    infinite[v] = True
+                else:
+                    bound[v] = max(bound[v], rng.stop)
+            return out
+
+    try:
+        _Absorb(unroll=8).semantics(program)
+    except AssertionError as e:  # e.g. widening failure on loops
+        raise UnsupportedForScan(str(e))
+    sizes = []
+    for v in range(nv):
+        if infinite[v]:
+            sizes.append(int(order))
+        else:
+            if bound[v] > _FINITE_CAP:
+                raise UnsupportedForScan(
+                    f"finite support of {ast.var_name(v)} too large "
+                    f"({bound[v]})"
+                )
+            sizes.append(bound[v])
+    return sizes
+
+
+# ----------------------------------------------------------------------
+# mass-semantics compiler
+# ----------------------------------------------------------------------
+
+def _ratio_or_slot(x):
+    """A PosRatio/Slot parameter -> ('static', float) | ('slot', idx)."""
+    if isinstance(x, Slot):
+        return ("slot", x.idx)
+    if isinstance(x, ast.PosRatio):
+        if x.denom == 0:
+            raise UnsupportedForScan("ratio with zero denominator")
+        return ("static", float(Fraction(x.numer, x.denom)))
+    if isinstance(x, int):
+        return ("static", float(x))
+    raise UnsupportedForScan(f"unsupported parameter {x!r}")
+
+
+class _MassCompiler:
+    """Compiles statement blocks to functions ``g, xs -> g`` on the
+    joint mass tensor; per-iteration quantities are host-precomputed
+    arrays delivered through ``xs`` (one entry per registered feed)."""
+
+    def __init__(self, sizes):
+        import jax.numpy as jnp
+
+        self.jnp = jnp
+        self.sizes = sizes
+        self.nv = len(sizes)
+        self.feeds = []  # fn(slot_values: list[float]) -> np.ndarray
+
+    # -- feed/static helpers -------------------------------------------
+    def _maybe_feed(self, prep: Callable, params: list):
+        """prep(*param_floats) -> np.ndarray.  All-static params give a
+        baked jnp constant; otherwise registers a per-iteration feed and
+        returns a closure reading it from xs."""
+        kinds = [_ratio_or_slot(p) for p in params]
+        if all(k == "static" for k, _ in kinds):
+            arr = self.jnp.asarray(prep(*[v for _, v in kinds]))
+            return lambda xs: arr
+        def resolve(slot_values):
+            return prep(*[
+                v if k == "static" else slot_values[v]
+                for k, v in kinds
+            ])
+        idx = len(self.feeds)
+        self.feeds.append(resolve)
+        return lambda xs: xs[idx]
+
+    # -- axis helpers ---------------------------------------------------
+    def _bshape(self, axis: int, ln: int):
+        sh = [1] * self.nv
+        sh[axis] = ln
+        return tuple(sh)
+
+    def _bshape2(self, ax1: int, ln1: int, ax2: int, ln2: int):
+        sh = [1] * self.nv
+        sh[ax1] = ln1
+        sh[ax2] = ln2
+        return tuple(sh)
+
+    def _matrix_apply(self, g, axis: int, K):
+        """g' = sum_src g[.., src, ..] K[src, dst] along ``axis``."""
+        jnp = self.jnp
+        h = jnp.moveaxis(g, axis, -1)
+        h = jnp.tensordot(h, K, axes=([h.ndim - 1], [0]))
+        return jnp.moveaxis(h, -1, axis)
+
+    def _conv_along(self, g, axis: int, vec):
+        """Truncated convolution of axis ``axis`` with pmf ``vec``."""
+        from .taylor.backend import _toeplitz
+
+        jnp = self.jnp
+        n = g.shape[axis]
+        h = jnp.moveaxis(g, axis, 0)
+        sh = h.shape
+        h2 = h.reshape(n, -1)
+        T = _toeplitz(jnp, vec, n, n)
+        out = T @ h2
+        return jnp.moveaxis(out.reshape(sh), 0, axis)
+
+    def _skew_add(self, g, ax_w: int, ax_v: int):
+        """g'[.., n_w, .., m_v] = g[.., n_w, .., (m - n)_v]: the
+        ``v += w`` remap as a pure pad/reshape/slice skew (no gathers;
+        mass with m >= size_v is dropped = truncation)."""
+        jnp = self.jnp
+        R = g.shape[ax_w]
+        C = g.shape[ax_v]
+        h = jnp.moveaxis(g, (ax_w, ax_v), (0, 1))
+        sh = h.shape
+        h2 = h.reshape(R, C, -1)
+        B = h2.shape[-1]
+        pad = jnp.zeros((R, R, B), h2.dtype)
+        P = jnp.concatenate([h2, pad], axis=1)          # (R, C+R, B)
+        s = C + R - 1
+        flat = P.reshape(R * (C + R), B)
+        out = flat[: R * s].reshape(R, s, B)[:, :C]
+        return jnp.moveaxis(out.reshape(sh), (0, 1), (ax_w, ax_v))
+
+    def _shift_along(self, g, axis: int, c: int):
+        if c == 0:
+            return g
+        jnp = self.jnp
+        n = g.shape[axis]
+        h = jnp.moveaxis(g, axis, 0)
+        if c >= n:
+            return jnp.moveaxis(jnp.zeros_like(h), 0, axis)
+        z = jnp.zeros((c,) + h.shape[1:], h.dtype)
+        out = jnp.concatenate([z, h[: n - c]], axis=0)
+        return jnp.moveaxis(out, 0, axis)
+
+    # -- distributions --------------------------------------------------
+    def _dist_vec(self, dist, n: int):
+        """Var-free distribution -> pmf row fn(xs) of length n."""
+        if isinstance(dist, ast.Poisson):
+            return self._maybe_feed(lambda lam: _pois_vec(lam, n),
+                                    [dist.rate])
+        if isinstance(dist, ast.Geometric):
+            return self._maybe_feed(lambda p: _geom_vec(p, n), [dist.p])
+        if isinstance(dist, ast.Bernoulli):
+            return self._maybe_feed(lambda p: _bern_vec(p, n), [dist.p])
+        if isinstance(dist, ast.Binomial):
+            if isinstance(dist.n, Slot):
+                raise UnsupportedForScan("varying Binomial trial count")
+            return self._maybe_feed(
+                lambda p: _binom_vec(dist.n, p, n), [dist.p]
+            )
+        if isinstance(dist, ast.NegBinomial):
+            if isinstance(dist.n, Slot):
+                raise UnsupportedForScan("varying NegBinomial successes")
+            return self._maybe_feed(
+                lambda p: _negbinom_vec(dist.n, p, n), [dist.p]
+            )
+        if isinstance(dist, ast.UniformDisc):
+            if isinstance(dist.start, Slot) or isinstance(dist.end, Slot):
+                raise UnsupportedForScan("varying Uniform bounds")
+            arr = self.jnp.asarray(_uniform_vec(dist.start, dist.end, n))
+            return lambda xs: arr
+        if isinstance(dist, ast.Dirac):
+            return self._maybe_feed(
+                lambda a: _dirac_vec(int(round(a)), n), [dist.a]
+            )
+        if isinstance(dist, ast.Categorical):
+            return self._maybe_feed(
+                lambda *ps: _categorical_vec(ps, n), list(dist.rs)
+            )
+        raise UnsupportedForScan(f"distribution {dist}")
+
+    def _dist_kernel(self, dist, n_src: int, n_dst: int,
+                     shift_rows: bool = False):
+        """Var-dependent distribution -> (w, kernel_fn) with
+        K[w_value, sampled_value].  ``shift_rows`` shifts row s right by
+        s (host-side), turning a delta kernel into the ``v +~ D(v)``
+        destination kernel."""
+        post = _shift_kernel_rows if shift_rows else (lambda K: K)
+        if isinstance(dist, ast.BinomialVarTrials):
+            return dist.var, self._maybe_feed(
+                lambda p: post(_pascal_matrix(n_src, n_dst, p)), [dist.p]
+            )
+        if isinstance(dist, ast.PoissonVarRate):
+            return dist.var, self._maybe_feed(
+                lambda f: post(_pois_rate_kernel(f, n_src, n_dst)),
+                [dist.rate],
+            )
+        if isinstance(dist, ast.NegBinomialVarSuccesses):
+            return dist.var, self._maybe_feed(
+                lambda p: post(_negbinom_var_kernel(p, n_src, n_dst)),
+                [dist.p],
+            )
+        if isinstance(dist, ast.BernoulliVarProb):
+            if n_src > 2:
+                raise UnsupportedForScan(
+                    "Bernoulli(var) with non-boolean support"
+                )
+            K = post(np.eye(n_src, n_dst))
+            arr = self.jnp.asarray(K)
+            return dist.var, (lambda xs: arr)
+        raise UnsupportedForScan(f"distribution {dist}")
+
+    @staticmethod
+    def _dist_has_var(dist) -> bool:
+        return isinstance(dist, (
+            ast.BinomialVarTrials, ast.PoissonVarRate,
+            ast.NegBinomialVarSuccesses, ast.BernoulliVarProb,
+        ))
+
+    # -- event weights --------------------------------------------------
+    def _event_weight(self, event) -> Callable:
+        """Event -> fn(xs) returning a [0,1] weight broadcastable over
+        the mass tensor (the per-grid-point probability of the event)."""
+        jnp = self.jnp
+        if isinstance(event, ast.InSet):
+            v = event.var
+            n = self.sizes[v]
+            ind = np.zeros(n)
+            for x in event.set:
+                if isinstance(x, Slot):
+                    raise UnsupportedForScan("varying InSet member")
+                if 0 <= x < n:
+                    ind[x] = 1.0
+            arr = jnp.asarray(ind.reshape(self._bshape(v, n)))
+            return lambda xs: arr
+        if isinstance(event, ast.VarComparison):
+            v1, v2 = event.v1, event.v2
+            n1, n2 = self.sizes[v1], self.sizes[v2]
+            a = np.arange(n1)[:, None]
+            b = np.arange(n2)[None, :]
+            if event.comp == ast.Comparison.EQ:
+                ind = (a == b).astype(np.float64)
+            elif event.comp == ast.Comparison.LT:
+                ind = (a < b).astype(np.float64)
+            elif event.comp == ast.Comparison.LE:
+                ind = (a <= b).astype(np.float64)
+            else:
+                raise UnsupportedForScan(f"comparison {event.comp}")
+            if v1 == v2:
+                diag = np.diagonal(ind).copy().reshape(
+                    self._bshape(v1, n1)
+                )
+                arr = jnp.asarray(diag)
+            else:
+                if v1 > v2:
+                    ind = ind.T
+                arr = jnp.asarray(
+                    ind.reshape(self._bshape2(v1, n1, v2, n2))
+                )
+            return lambda xs: arr
+        if isinstance(event, ast.DataFromDist):
+            return self._data_from_dist_weight(event.data, event.dist)
+        if isinstance(event, ast.Complement):
+            inner = self._event_weight(event.event)
+            return lambda xs: 1.0 - inner(xs)
+        if isinstance(event, ast.Intersection):
+            parts = [self._event_weight(e) for e in event.events]
+            if not parts:
+                return lambda xs: jnp.asarray(1.0)
+            def w(xs):
+                out = parts[0](xs)
+                for p in parts[1:]:
+                    out = out * p(xs)
+                return out
+            return w
+        raise UnsupportedForScan(f"event {event}")
+
+    def _data_from_dist_weight(self, data, dist) -> Callable:
+        """Likelihood of drawing ``data`` from ``dist`` per grid point."""
+        if self._dist_has_var(dist):
+            w = dist.var
+            n = self.sizes[w]
+            sh = self._bshape(w, n)
+            if isinstance(dist, ast.PoissonVarRate):
+                fn = self._maybe_feed(
+                    lambda c, f: _obs_pois_rate_row(
+                        int(round(c)), f, n).reshape(sh),
+                    [data, dist.rate],
+                )
+            elif isinstance(dist, ast.BinomialVarTrials):
+                fn = self._maybe_feed(
+                    lambda c, p: _obs_binom_trials_row(
+                        int(round(c)), p, n).reshape(sh),
+                    [data, dist.p],
+                )
+            elif isinstance(dist, ast.NegBinomialVarSuccesses):
+                fn = self._maybe_feed(
+                    lambda c, p: _obs_negbinom_var_row(
+                        int(round(c)), p, n).reshape(sh),
+                    [data, dist.p],
+                )
+            elif isinstance(dist, ast.BernoulliVarProb):
+                if n > 2:
+                    raise UnsupportedForScan(
+                        "Bernoulli(var) with non-boolean support"
+                    )
+                fn = self._maybe_feed(
+                    lambda c: np.asarray(
+                        [1.0 if int(round(c)) == s else 0.0
+                         for s in range(n)]
+                    ).reshape(sh),
+                    [data],
+                )
+            else:  # pragma: no cover
+                raise UnsupportedForScan(f"observation from {dist}")
+            return fn
+        # var-free: scalar likelihood (params as host f64)
+        plist = _collect_ratio_params(dist)
+        if not isinstance(data, Slot) and not any(
+            isinstance(p, Slot) for p in plist
+        ):
+            arr = self.jnp.asarray(_const_dist_pmf(dist, int(data)))
+            return lambda xs: arr
+        pmf = _const_dist_pmf_fn(dist)
+        return self._maybe_feed(
+            lambda c, *ps: np.asarray(pmf(int(round(c)), *ps)),
+            [data] + plist,
+        )
+
+    # -- statements -----------------------------------------------------
+    def compile_block(self, stmts) -> Callable:
+        ops = [self._stmt_op(s) for s in stmts]
+        def apply(g, xs):
+            for op in ops:
+                g = op(g, xs)
+            return g
+        return apply
+
+    def _stmt_op(self, stmt) -> Callable:
+        jnp = self.jnp
+        if isinstance(stmt, ast.IfThenElse):
+            ev = stmt.recognize_observe()
+            if ev is not None:
+                w = self._event_weight(ev)
+                return lambda g, xs: g * w(xs)
+            w = self._event_weight(stmt.cond)
+            then_ap = self.compile_block(stmt.then)
+            else_fails = (
+                len(stmt.els) == 1 and isinstance(stmt.els[0], ast.Fail)
+            )
+            then_fails = (
+                len(stmt.then) == 1 and isinstance(stmt.then[0], ast.Fail)
+            )
+            if else_fails:
+                return lambda g, xs: then_ap(g * w(xs), xs)
+            else_ap = self.compile_block(stmt.els)
+            if then_fails:
+                return lambda g, xs: else_ap(g * (1.0 - w(xs)), xs)
+            def ap(g, xs):
+                wv = w(xs)
+                return then_ap(g * wv, xs) + else_ap(g * (1.0 - wv), xs)
+            return ap
+        if isinstance(stmt, ast.Sample):
+            return self._sample_op(stmt)
+        if isinstance(stmt, ast.Assign):
+            return self._assign_op(stmt)
+        if isinstance(stmt, ast.Decrement):
+            v, c = stmt.var, stmt.offset
+            if isinstance(c, Slot):
+                raise UnsupportedForScan("varying decrement offset")
+            n = self.sizes[v]
+            D = np.zeros((n, n))
+            for s in range(n):
+                D[s, max(s - c, 0)] = 1.0
+            K = self.jnp.asarray(D)
+            return lambda g, xs: self._matrix_apply(g, v, K)
+        if isinstance(stmt, ast.Fail):
+            return lambda g, xs: jnp.zeros_like(g)
+        raise UnsupportedForScan(f"statement {type(stmt).__name__}")
+
+    def _sample_op(self, stmt: ast.Sample) -> Callable:
+        jnp = self.jnp
+        v = stmt.var
+        n = self.sizes[v]
+        dist = stmt.distribution
+        if not self._dist_has_var(dist):
+            vec = self._dist_vec(dist, n)
+            if stmt.add_previous_value:
+                return lambda g, xs: self._conv_along(g, v, vec(xs))
+            sh = self._bshape(v, n)
+            def ap(g, xs):
+                m = jnp.sum(g, axis=v, keepdims=True)
+                return m * vec(xs).reshape(sh)
+            return ap
+        w = dist.var
+        if w == v:
+            # self-referential: kernel on (old value -> new value).
+            # For ``v +~ D(v)`` the destination kernel is the delta
+            # kernel with row s shifted right by s — built on the host
+            # inside the (possibly per-iteration) prep.
+            kf = self._dist_kernel(
+                dist, n, n, shift_rows=stmt.add_previous_value
+            )[1]
+            return lambda g, xs: self._matrix_apply(g, v, kf(xs))
+        nw = self.sizes[w]
+        _, kf = self._dist_kernel(dist, nw, n)
+        sh = self._bshape2(w, nw, v, n)
+        if not stmt.add_previous_value:
+            # reshape of the (nw, n) kernel into the broadcast shape is
+            # row-major: transpose first when axis w comes after axis v
+            def ap(g, xs):
+                K = kf(xs)
+                m = jnp.sum(g, axis=v, keepdims=True)
+                return m * (K if w < v else K.T).reshape(sh)
+            return ap
+        # v +~ D(w): per-w-value truncated convolution along v — a
+        # batched Toeplitz einsum (band built in-graph, gather-free)
+        from .taylor.backend import _toeplitz
+
+        def ap(g, xs):
+            K = kf(xs)                     # (nw, n)
+            T = _toeplitz(jnp, K.T, n, n)  # (n_dst, n_src_delta, nw)
+            h = jnp.moveaxis(g, (w, v), (0, 1))
+            sh_ = h.shape
+            h2 = h.reshape(nw, n, -1)
+            out = jnp.einsum("njb,mjn->nmb", h2, T)
+            return jnp.moveaxis(out.reshape(sh_), (0, 1), (w, v))
+        return ap
+
+    def _assign_op(self, stmt: ast.Assign) -> Callable:
+        jnp = self.jnp
+        v = stmt.var
+        n = self.sizes[v]
+        off = stmt.offset
+        if isinstance(off, Slot):
+            raise UnsupportedForScan("varying assignment offset")
+        if stmt.addend is None:
+            if stmt.add_previous_value:
+                return lambda g, xs: self._shift_along(g, v, off)
+            onehot = self.jnp.asarray(
+                _dirac_vec(off, n).reshape(self._bshape(v, n))
+            )
+            def ap(g, xs):
+                m = jnp.sum(g, axis=v, keepdims=True)
+                return m * onehot
+            return ap
+        factor, w = stmt.addend
+        if isinstance(factor, Slot):
+            raise UnsupportedForScan("varying assignment factor")
+        if w == v:
+            # v := f*v + off  /  v += f*v + off
+            mult = factor + (1 if stmt.add_previous_value else 0)
+            M = np.zeros((n, n))
+            for s in range(n):
+                d = mult * s + off
+                if d < n:
+                    M[s, d] = 1.0
+            K = self.jnp.asarray(M)
+            return lambda g, xs: self._matrix_apply(g, v, K)
+        nw = self.sizes[w]
+        if stmt.add_previous_value:
+            # v += f*w + off: f skew passes then static shift
+            def ap(g, xs):
+                for _ in range(factor):
+                    g = self._skew_add(g, w, v)
+                return self._shift_along(g, v, off)
+            return ap
+        # v := f*w + off: marginalize v, then indicator kernel
+        I = np.zeros((nw, n))
+        for s in range(nw):
+            d = factor * s + off
+            if d < n:
+                I[s, d] = 1.0
+        if w > v:
+            I = I.T
+        arr = self.jnp.asarray(I.reshape(self._bshape2(w, nw, v, n)))
+        def ap(g, xs):
+            m = jnp.sum(g, axis=v, keepdims=True)
+            return m * arr
+        return ap
+
+
+def _shift_kernel_rows(K: np.ndarray) -> np.ndarray:
+    """K'[s, d] = K[s, d - s] (d >= s), zero otherwise; drops mass above
+    the truncation boundary exactly like the Taylor engine."""
+    n_src, n_dst = K.shape
+    out = np.zeros_like(K)
+    for s in range(n_src):
+        hi = max(0, n_dst - s)
+        out[s, s:] = K[s, :hi]
+    return out
+
+
+def _const_dist_pmf_fn(dist) -> Callable:
+    """pmf evaluator (c, *float_params) -> float for a var-free
+    distribution whose PosRatio parameters are passed positionally in
+    :func:`_collect_ratio_params` order."""
+    if isinstance(dist, ast.Bernoulli):
+        return lambda c, p: p if c == 1 else (1.0 - p) if c == 0 else 0.0
+    if isinstance(dist, ast.Poisson):
+        return lambda c, lam: _pois_vec(lam, c + 1)[c]
+    if isinstance(dist, ast.Geometric):
+        return lambda c, p: p * (1.0 - p) ** c
+    if isinstance(dist, ast.Binomial):
+        if isinstance(dist.n, Slot):
+            raise UnsupportedForScan("varying Binomial trial count")
+        return lambda c, p: _binom_vec(dist.n, p, c + 1)[c]
+    if isinstance(dist, ast.NegBinomial):
+        if isinstance(dist.n, Slot):
+            raise UnsupportedForScan("varying NegBinomial successes")
+        return lambda c, p: _negbinom_vec(dist.n, p, c + 1)[c]
+    if isinstance(dist, ast.UniformDisc):
+        lo, hi = dist.start, dist.end
+        if isinstance(lo, Slot) or isinstance(hi, Slot):
+            raise UnsupportedForScan("varying Uniform bounds")
+        return lambda c: 1.0 / (hi - lo) if lo <= c < hi else 0.0
+    if isinstance(dist, ast.Dirac):
+        return lambda c, a: 1.0 if c == int(round(a)) else 0.0
+    if isinstance(dist, ast.Categorical):
+        k = len(dist.rs)
+        return lambda c, *ps: ps[c] if 0 <= c < k else 0.0
+    raise UnsupportedForScan(f"observation from {dist}")
+
+
+def _collect_ratio_params(dist) -> list:
+    """Ordered PosRatio/Slot parameters of a var-free distribution, in
+    _sig_lits order."""
+    out = []
+    def walk(obj):
+        if isinstance(obj, (ast.PosRatio, Slot)):
+            out.append(obj)
+        elif dataclasses.is_dataclass(obj):
+            for f in dataclasses.fields(obj):
+                walk(getattr(obj, f.name))
+        elif isinstance(obj, tuple):
+            for x in obj:
+                walk(x)
+    walk(dist)
+    return out
+
+
+# ----------------------------------------------------------------------
+# whole-program compilation
+# ----------------------------------------------------------------------
+
+class ScanCompiled:
+    """A compiled scan program at one grid order.  ``run()`` returns
+    ``(masses, Z)``: the full unnormalized posterior marginal of the
+    result variable (length = its axis size) and the total retained
+    mass, both host-f64."""
+
+    def __init__(self, program: ast.Program, rep: Repetition, order: int):
+        import jax
+        import jax.numpy as jnp
+
+        jax.config.update("jax_enable_x64", True)
+        self.program = program
+        self.order = order
+        sizes = grid_sizes(program, order)
+        self.sizes = sizes
+        mc = _MassCompiler(sizes)
+        pre_ap = mc.compile_block(rep.prologue)
+        n_pre_feeds = len(mc.feeds)
+        if n_pre_feeds:
+            raise UnsupportedForScan("slots escaped into the prologue")
+        tpl_ap = mc.compile_block(rep.template)
+        tpl_feeds = mc.feeds[n_pre_feeds:]
+        n_tpl = len(mc.feeds)
+        post_ap = mc.compile_block(rep.epilogue)
+        if len(mc.feeds) != n_tpl:
+            raise UnsupportedForScan("slots escaped into the epilogue")
+        # host-precompute stacked per-iteration feed arrays
+        xs_stacked = []
+        for spec in tpl_feeds:
+            rows = [
+                np.asarray(spec([col[i] for col in rep.data]),
+                           dtype=np.float64)
+                for i in range(rep.n_iters)
+            ]
+            xs_stacked.append(np.stack(rows))
+        if not xs_stacked:
+            # scan length must come from somewhere even when every
+            # iteration is literally identical
+            xs_stacked.append(np.zeros(rep.n_iters))
+        self._xs = tuple(jnp.asarray(a) for a in xs_stacked)
+        rv = program.result
+
+        def step(carry, xs):
+            g, logz = carry
+            g = tpl_ap(g, xs)
+            m = jnp.max(g)
+            e = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
+            g = g / jnp.exp2(e)
+            return (g, logz + e), None
+
+        def run(g0, xs):
+            g = pre_ap(g0, ())
+            m = jnp.max(g)
+            e0 = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
+            g = g / jnp.exp2(e0)
+            (g, logz), _ = jax.lax.scan(step, (g, e0), xs)
+            g = post_ap(g, ())
+            axes = tuple(a for a in range(len(sizes)) if a != rv)
+            marg = jnp.sum(g, axis=axes) if axes else g
+            return marg, logz
+
+        self._run = jax.jit(run)
+        g0 = np.zeros(sizes)
+        g0[(0,) * len(sizes)] = 1.0
+        self._g0 = g0
+
+    def run(self):
+        marg, logz = self._run(self._g0, self._xs)
+        masses = np.asarray(marg, dtype=np.float64) * 2.0 ** float(logz)
+        return masses, float(masses.sum())
+
+
+def compile_scan(program: ast.Program, order: int = 128,
+                 min_iters: int = 4, max_order: int = 4096,
+                 rtol: float = 1e-12):
+    """Detect repetition, compile, and validate truncation by doubling
+    the grid order until two consecutive orders agree to ``rtol``.
+    Returns ``(masses, Z, n_iters)``; raises UnsupportedForScan if the
+    program is outside the fragment or never converges."""
+    for s in program.stmts:
+        if isinstance(s, (ast.While, ast.Normalize)):
+            raise UnsupportedForScan(f"{type(s).__name__} statement")
+    rep = detect_repetition(program.stmts, min_iters=min_iters)
+    if rep is None:
+        raise UnsupportedForScan("no repeated observation block found")
+    prev = None
+    o = order
+    while o <= max_order:
+        cur = ScanCompiled(program, rep, o).run()
+        if prev is not None:
+            m_prev, z_prev = prev
+            m_cur, z_cur = cur
+            k = min(len(m_prev), len(m_cur))
+            scale = max(z_cur, np.max(m_cur) if len(m_cur) else 0.0)
+            if scale > 0.0 and np.allclose(
+                m_prev[:k], m_cur[:k], rtol=rtol, atol=scale * 1e-15
+            ) and abs(z_prev - z_cur) <= rtol * scale:
+                return cur[0], cur[1], rep.n_iters
+        prev = cur
+        o *= 2
+    raise UnsupportedForScan(
+        f"truncation did not converge below order {max_order}"
+    )
