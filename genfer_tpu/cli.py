@@ -65,6 +65,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace of the inference to DIR")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax NaN debugging (jax_debug_nans)")
+    p.add_argument("--compile-scan", action="store_true",
+                   help="detect repeated observation blocks in the AST and "
+                   "compile the whole inference into one jax.lax.scan over "
+                   "the per-iteration constants (mass semantics on a "
+                   "self-validating truncated grid); falls back to the "
+                   "interpreter when the program is outside the fragment")
+    p.add_argument("--scan-order", type=int, default=128,
+                   help="starting grid order for --compile-scan (doubled "
+                   "until two consecutive orders agree)")
     p.add_argument("--backend",
                    choices=["jax", "numpy", "hybrid", "sharded", "pallas",
                             "object"], default=None,
@@ -240,6 +249,8 @@ def run(program, args):
 
 
 def _run_impl(program, args):
+    if args.compile_scan and _try_scan_path(program, args):
+        return
     T, backend, elem = select_mode(args)
     IV = Interval.over(elem) if not args.bounds else T
     inference_start = time.perf_counter()
@@ -299,6 +310,70 @@ def _run_impl(program, args):
         inference_start,
         gf_translation_time,
     )
+
+
+def _try_scan_path(program, args) -> bool:
+    """Run the whole inference through the generic scan compiler
+    (genfer_tpu.scanc); returns False (fall back to the interpreter)
+    when the program or the requested mode is outside its fragment."""
+    if (args.bounds or args.rational or args.precision is not None
+            or args.big_float or args.symbolic):
+        print("(scan compilation supports the f64 mode only; "
+              "falling back to the interpreter)", file=sys.stderr)
+        return False
+    from .scanc import UnsupportedForScan, compile_scan
+    from .semantics.support_transform import SupportTransformer
+    from .semantics.supportset import VarSupport
+
+    inference_start = time.perf_counter()
+    _enable_x64()
+    try:
+        masses, Z, _ = compile_scan(program, order=args.scan_order)
+    except UnsupportedForScan as e:
+        print(f"(scan compilation unavailable: {e}; "
+              "falling back to the interpreter)", file=sys.stderr)
+        return False
+    print_elapsed(inference_start,
+                  "Time to construct the generating function: ", args)
+    gf_translation_time = time.perf_counter() - inference_start
+
+    import numpy as np
+
+    var_info = SupportTransformer(unroll=args.unroll).semantics(program)
+    rest_info = VarSupport.empty(var_info.num_vars())
+    IV = Interval.over(F64)
+    ns = np.arange(len(masses), dtype=np.float64)
+
+    def moments_fn(limit):
+        moms = [
+            F64(float((masses * ns ** k).sum() / Z)) if Z > 0.0
+            else F64(0.0)
+            for k in range(1, limit)
+        ]
+        return F64(Z), moms
+
+    def probs_fn(limit):
+        return [
+            F64(float(masses[i]) if i < len(masses) else 0.0)
+            for i in range(limit)
+        ]
+
+    wrap = IV.precisely
+    print_moments_and_probs_interval(
+        IV,
+        lambda: wrap(F64.zero()),
+        lambda limit: (lambda tm: (wrap(tm[0]), [wrap(m) for m in tm[1]]))(
+            moments_fn(limit)
+        ),
+        lambda limit: [wrap(x) for x in probs_fn(limit)],
+        var_info[program.result],
+        rest_info[program.result],
+        program.uses_observe(),
+        args,
+        inference_start,
+        gf_translation_time,
+    )
+    return True
 
 
 def translate_program_to_gf(T, backend, program, args):

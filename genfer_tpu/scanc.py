@@ -798,19 +798,59 @@ class _MassCompiler:
                 m = jnp.sum(g, axis=v, keepdims=True)
                 return m * (K if w < v else K.T).reshape(sh)
             return ap
-        # v +~ D(w): per-w-value truncated convolution along v — a
-        # batched Toeplitz einsum (band built in-graph, gather-free)
+        # v +~ D(w): per-w-value truncated convolution along v.  The
+        # supported kernels all factorize over w — D(n) = D(1)^(*n) in
+        # pgf terms — so instead of an O(N^3) band tensor we apply the
+        # binary decomposition D(n) = prod_j D(2^j)^{bit_j(n)}: one
+        # masked Toeplitz matmul per bit of the w axis (O(log N) MXU
+        # matmuls, O(N^2) memory).
+        base = self._conv_power_bases(dist, nw, n)
+        bits = max(1, (nw - 1).bit_length())
+        masks = []
+        for j in range(bits):
+            m = ((np.arange(nw) >> j) & 1).astype(np.float64)
+            masks.append(jnp.asarray(
+                m.reshape(self._bshape(w, nw))
+            ))
         from .taylor.backend import _toeplitz
 
         def ap(g, xs):
-            K = kf(xs)                     # (nw, n)
-            T = _toeplitz(jnp, K.T, n, n)  # (n_dst, n_src_delta, nw)
-            h = jnp.moveaxis(g, (w, v), (0, 1))
-            sh_ = h.shape
-            h2 = h.reshape(nw, n, -1)
-            out = jnp.einsum("njb,mjn->nmb", h2, T)
-            return jnp.moveaxis(out.reshape(sh_), (0, 1), (w, v))
+            rows = base(xs)  # (bits, n): pmf of D(2^j)
+            for j in range(bits):
+                T = _toeplitz(jnp, rows[j], n, n)
+                gK = self._matrix_apply(g, v, T.T)
+                g = masks[j] * gK + (1.0 - masks[j]) * g
+            return g
         return ap
+
+    def _conv_power_bases(self, dist, nw: int, n: int):
+        """fn(xs) -> (bits, n) array of D(2^j) pmf rows for the binary
+        decomposition of ``v +~ D(w)`` (host-precomputed f64)."""
+        bits = max(1, (nw - 1).bit_length())
+        if isinstance(dist, ast.BinomialVarTrials):
+            return self._maybe_feed(
+                lambda p: np.stack([
+                    _binom_vec(1 << j, p, n) for j in range(bits)
+                ]),
+                [dist.p],
+            )
+        if isinstance(dist, ast.PoissonVarRate):
+            return self._maybe_feed(
+                lambda f: np.stack([
+                    _pois_vec(f * (1 << j), n) for j in range(bits)
+                ]),
+                [dist.rate],
+            )
+        if isinstance(dist, ast.NegBinomialVarSuccesses):
+            return self._maybe_feed(
+                lambda p: np.stack([
+                    _negbinom_vec(1 << j, p, n) for j in range(bits)
+                ]),
+                [dist.p],
+            )
+        raise UnsupportedForScan(
+            f"increment from non-factorizing {dist}"
+        )
 
     def _assign_op(self, stmt: ast.Assign) -> Callable:
         jnp = self.jnp

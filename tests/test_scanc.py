@@ -1,0 +1,212 @@
+"""Generic scan compiler (genfer_tpu.scanc): AST repetition detection +
+mass-semantics lax.scan compilation, validated against the committed
+reference goldens (benchmarks/neurips2023/approx) and the interpreter.
+
+VERDICT round-2 item 2: the committed hmm/mixture/population*.sgcl
+files — parsed, not hand-modeled — must produce scan programs whose
+output matches their goldens at <=1e-12.
+"""
+
+import io
+import os
+import re
+import tempfile
+from contextlib import redirect_stdout
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+APPROX = Path("/root/reference/benchmarks/neurips2023/approx")
+
+
+def _expect_values(name):
+    """Z and E from the committed .expect file."""
+    text = (APPROX / name / f"{name}.expect").read_text()
+    z = float(re.search(r"Z = ([\d.e+-]+)", text).group(1))
+    e = float(re.search(r"E = ([\d.e+-]+)", text).group(1))
+    return z, e
+
+
+def _scan_run(name, order=256):
+    from genfer_tpu.lang.parser import parse_file
+    from genfer_tpu.scanc import compile_scan
+
+    prog = parse_file(str(APPROX / name / f"{name}.sgcl"))
+    masses, Z, _ = compile_scan(prog, order=order)
+    ns = np.arange(len(masses), dtype=np.float64)
+    E = float((masses * ns).sum() / Z)
+    return masses, Z, E
+
+
+@pytest.mark.parametrize("name", [
+    "hmm", "mixture", "population", "population_modified",
+])
+def test_approx_goldens(name):
+    Z_exp, E_exp = _expect_values(name)
+    masses, Z, E = _scan_run(name)
+    assert abs(Z - Z_exp) / Z_exp <= 1e-12, (Z, Z_exp)
+    assert abs(E - E_exp) / E_exp <= 1e-12, (E, E_exp)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW_TESTS"),
+    reason="two_populations doubles to order 512 (~1 min)",
+)
+def test_two_populations_golden():
+    Z_exp, E_exp = _expect_values("two_populations")
+    masses, Z, E = _scan_run("two_populations")
+    assert abs(Z - Z_exp) / Z_exp <= 1e-12
+    assert abs(E - E_exp) / E_exp <= 1e-12
+
+
+def test_detection_shape():
+    from genfer_tpu.lang.parser import parse_file
+    from genfer_tpu.scanc import detect_repetition
+
+    prog = parse_file(str(APPROX / "hmm" / "hmm.sgcl"))
+    rep = detect_repetition(prog.stmts)
+    assert rep.n_iters == 30 and len(rep.template) == 1
+    assert len(rep.data) == 2  # the two per-branch observe counts
+    prog = parse_file(str(APPROX / "population" / "population.sgcl"))
+    rep = detect_repetition(prog.stmts)
+    assert len(rep.template) == 3 and len(rep.data) == 2
+
+
+def test_switchpoint_unsupported():
+    """Continuous latents (Exponential) are outside the fragment."""
+    from genfer_tpu.lang.parser import parse_file
+    from genfer_tpu.scanc import UnsupportedForScan, compile_scan
+
+    prog = parse_file(str(APPROX / "switchpoint" / "switchpoint.sgcl"))
+    with pytest.raises(UnsupportedForScan):
+        compile_scan(prog, order=32)
+
+
+def _cli(src, *flags):
+    from genfer_tpu.cli import main as cli_main
+
+    with tempfile.NamedTemporaryFile("w", suffix=".sgcl",
+                                     delete=False) as f:
+        f.write(src)
+        path = f.name
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli_main([path, "--no-timing", *flags])
+    return buf.getvalue()
+
+
+def _parse_probs(out):
+    probs = {
+        int(m.group(1)): float(m.group(2))
+        for m in re.finditer(
+            r"Unnormalized: p\((\d+)\)\s*=\s*([\d.e+-]+)", out
+        )
+    }
+    if not probs:  # normalized printing (no observe)
+        probs = {
+            int(m.group(1)): float(m.group(2))
+            for m in re.finditer(r"p\((\d+)\) = ([\d.e+-]+)", out)
+        }
+    return probs
+
+
+SYNTH = """
+state := 1;
+count ~ Poisson(3.25);
+count ~ Binomial(count, 1/4);
+count +~ Geometric(0.7);
+if state = 1 {
+    observe 2 ~ Poisson(0.5 * count);
+    state ~ Bernoulli(1/3);
+}
+count +~ Poisson(1.5);
+observe 1 ~ Binomial(count, 0.3);
+if state = 1 {
+    observe 3 ~ Poisson(0.5 * count);
+    state ~ Bernoulli(1/3);
+}
+count +~ Poisson(2.5);
+observe 2 ~ Binomial(count, 0.3);
+if state = 1 {
+    observe 1 ~ Poisson(0.5 * count);
+    state ~ Bernoulli(1/3);
+}
+count +~ Poisson(0.5);
+observe 0 ~ Binomial(count, 0.3);
+if state = 1 {
+    observe 2 ~ Poisson(0.5 * count);
+    state ~ Bernoulli(1/3);
+}
+count +~ Poisson(1.25);
+observe 1 ~ Binomial(count, 0.3);
+return count
+"""
+
+
+def test_cli_scan_matches_interpreter():
+    """--compile-scan output numerically equals the interpreter's on a
+    mixed synthetic program (thinning, increments, var-rate observe,
+    state branching)."""
+    ref = _parse_probs(_cli(SYNTH, "--limit", "25"))
+    got = _parse_probs(_cli(SYNTH, "--limit", "25", "--compile-scan"))
+    assert set(got) == set(ref)
+    for k, v in ref.items():
+        if v > 1e-280:
+            assert abs(got[k] - v) / v <= 1e-11, (k, got[k], v)
+
+
+def test_cli_scan_fallback():
+    """Programs outside the fragment silently fall back."""
+    src = "x ~ Geometric(1/2);\nwhile x > 0 { x -= 1; }\nreturn x"
+    # while-loop program: scan path must fall back, output still valid
+    out = _cli(src, "--compile-scan")
+    assert "p(0)" in out
+
+
+def test_increment_binary_decomposition():
+    """v +~ Binomial(w, p) via bit-decomposition == brute-force band
+    operator on a small grid."""
+    import jax
+    import jax.numpy as jnp
+
+    from genfer_tpu.lang import ast
+    from genfer_tpu.scanc import _MassCompiler, _binom_vec
+
+    rng = np.random.default_rng(0)
+    nw, nv = 13, 17
+    g = rng.random((nw, nv))
+    mc = _MassCompiler([nw, nv])
+    op = mc._stmt_op(ast.Sample(
+        var=1,
+        distribution=ast.BinomialVarTrials(var=0, p=ast.PosRatio(3, 10)),
+        add_previous_value=True,
+    ))
+    got = np.asarray(op(jnp.asarray(g), ()))
+    want = np.zeros_like(g)
+    for n in range(nw):
+        pmf = _binom_vec(n, 0.3, nv)
+        for m in range(nv):
+            want[n, m] = sum(
+                g[n, m - k] * pmf[k] for k in range(m + 1)
+            )
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_skew_add():
+    """v += w skew-reshape == brute-force shift."""
+    import jax.numpy as jnp
+
+    from genfer_tpu.scanc import _MassCompiler
+
+    rng = np.random.default_rng(1)
+    for R, C in [(5, 9), (8, 8), (11, 4)]:
+        g = rng.random((R, C))
+        mc = _MassCompiler([R, C])
+        got = np.asarray(mc._skew_add(jnp.asarray(g), 0, 1))
+        want = np.zeros_like(g)
+        for r in range(R):
+            for c in range(C):
+                if 0 <= c - r:
+                    want[r, c] = g[r, c - r]
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
