@@ -246,6 +246,39 @@ class TracedF64Backend(JaxF64Backend):
         return arr * f.reshape(shape)
 
 
+def _translate_big_stack(work, stack_mb: int = 256,
+                         limit: int = 100_000):
+    """Run ``work`` on a dedicated thread with a large stack and a
+    scoped recursion limit (mirrors cli.main / reference main.rs:96-106);
+    restores the process-wide limit afterwards."""
+    import sys
+    import threading
+
+    out: list = []
+
+    def runner():
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, limit))
+        try:
+            out.append(("ok", work()))
+        except BaseException as e:
+            out.append(("err", e))
+        finally:
+            sys.setrecursionlimit(old)
+
+    threading.stack_size(stack_mb * 1024 * 1024)
+    try:
+        t = threading.Thread(target=runner)
+        t.start()
+        t.join()
+    finally:
+        threading.stack_size(0)
+    kind, val = out[0]
+    if kind == "err":
+        raise val
+    return val
+
+
 class CompiledProgram:
     """A parameterized SGCL program compiled to XLA."""
 
@@ -261,10 +294,15 @@ class CompiledProgram:
         self.SP = SP
         self.program = parse_program(source)
         # deep observation chains (e.g. the 784-pixel naive-Bayes model)
-        # nest the GF DAG deeper than the default recursion limit
-        sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))
-        self.translation = GfTransformer(SP, unroll=unroll).semantics(
-            self.program
+        # nest the GF DAG deeper than the default recursion limit.
+        # Translate on a dedicated big-stack thread (like cli.main): a
+        # raised recursion limit on a small-stack thread would turn a
+        # catchable RecursionError into a hard C-stack overflow, and the
+        # process-wide limit must not leak past the constructor.
+        self.translation = _translate_big_stack(
+            lambda: GfTransformer(SP, unroll=unroll).semantics(
+                self.program
+            )
         )
         rest = self.translation.rest
         self.has_rest = not (

@@ -1146,6 +1146,17 @@ class JaxF64Backend(Backend):
         Falls back to the IEEE-faithful generic recurrence when the
         leading coefficient is zero or inputs are non-finite."""
         out_shape = _norm_shape(out_shape)
+        # truncate the divisor up front: quotient coefficients below
+        # out_shape only depend on divisor coefficients below out_shape,
+        # and dispatching on the truncated shape guarantees the 1-axis
+        # base case of _inv_nd is reachable (a divisor with >=2 effective
+        # axes but an out_shape truncating them to 1 would otherwise
+        # recurse poly_div -> _poly_div_nd -> _inv_nd forever)
+        ys = self._trunc_to(ys, tuple(
+            min(ys.shape[i], out_shape[i]) for i in range(len(out_shape))
+        ))
+        if len(_effective_axes(tuple(ys.shape))) <= 1:
+            return self.poly_div(xs, ys, out_shape)
         lead = ys[(0,) * ys.ndim]
         if (
             not self._all_finite(ys)
@@ -1178,6 +1189,12 @@ class JaxF64Backend(Backend):
             i for i in range(nd)
             if min(xs.shape[i], out_shape[i]) > 1 and out_shape[i] > 1
         ]
+        if not eff:
+            # xs is constant within out_shape: defer to the 0/1-axis path
+            xt = self._trunc_to(xs, tuple(
+                min(xs.shape[i], out_shape[i]) for i in range(nd)
+            ))
+            return self.poly_log(xt, out_shape)
         # log varies only along xs's axes; compute there, zero-pad after
         work = tuple(
             out_shape[i] if i in eff else 1 for i in range(nd)
@@ -1217,6 +1234,12 @@ class JaxF64Backend(Backend):
             i for i in range(nd)
             if min(xs.shape[i], out_shape[i]) > 1 and out_shape[i] > 1
         ]
+        if not eff:
+            # xs is constant within out_shape: defer to the 0/1-axis path
+            xt = self._trunc_to(xs, tuple(
+                min(xs.shape[i], out_shape[i]) for i in range(nd)
+            ))
+            return self.poly_exp(xt, out_shape)
         work = tuple(
             out_shape[i] if i in eff else 1 for i in range(nd)
         )

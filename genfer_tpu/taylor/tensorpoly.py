@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import math
+import struct
 from typing import Optional, Sequence
 
 import numpy as np
@@ -1108,10 +1109,22 @@ def _falling_factors_f64(n: int, m: int):
     return out
 
 
-@functools.lru_cache(maxsize=8192)
 def _power_factors_f64(m: float, count: int):
     """Diagonal-substitution powers 1, m, m^2, ... as a cached numpy
-    vector (sequential IEEE muls, bit-identical to the scalar loop)."""
+    vector (sequential IEEE muls, bit-identical to the scalar loop).
+
+    Cache key is the bit pattern of m, not its float value: -0.0 == 0.0
+    would share a slot (their power sequences differ in zero sign) and a
+    NaN key would never hit its own entry (NaN != NaN), growing the
+    cache by one dead entry per call."""
+    return _power_factors_f64_bits(
+        struct.pack("<d", m), count
+    )
+
+
+@functools.lru_cache(maxsize=8192)
+def _power_factors_f64_bits(m_bits: bytes, count: int):
+    m = struct.unpack("<d", m_bits)[0]
     out = np.empty(count)
     f = 1.0
     for k in range(count):

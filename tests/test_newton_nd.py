@@ -143,3 +143,39 @@ def test_jax_backend_matches_numpy(nb, jb):
         np.asarray(jb.poly_log(jb.jnp.asarray(xl), (7, 6))),
         nb.poly_log(xl, (7, 6)), rtol=1e-8, atol=1e-10,
     )
+
+
+def test_truncating_out_shape_no_recursion():
+    """poly_div/exp/log with a >=2-effective-axis operand but an
+    out_shape truncating those axes to 1 must reach the scalar base
+    case instead of recursing (ADVICE round-2 items 1-2)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genfer_tpu.taylor.backend import JaxF64Backend, NumpyF64Backend
+
+    for B, conv in ((JaxF64Backend, jnp.asarray),
+                    (NumpyF64Backend, np.asarray)):
+        b = B()
+        ys = conv(np.arange(1, 26, dtype=float).reshape(5, 5))
+        xs = conv(np.ones((1, 1)))
+        assert float(np.asarray(b.poly_div(xs, ys, (1, 1))).ravel()[0]) == 1.0
+        assert float(np.asarray(
+            b.poly_exp(conv(np.zeros((3, 3))), (1, 1))).ravel()[0]) == 1.0
+        assert float(np.asarray(
+            b.poly_log(conv(np.ones((3, 3))), (1, 1))).ravel()[0]) == 0.0
+
+
+def test_power_factors_zero_sign_and_nan():
+    """-0.0 and 0.0 must not share a power-factor cache slot
+    (ADVICE round-2 item 3)."""
+    import numpy as np
+
+    from genfer_tpu.taylor.tensorpoly import _power_factors_f64
+
+    pos = _power_factors_f64(0.0, 4)
+    neg = _power_factors_f64(-0.0, 4)
+    assert np.signbit(neg[1]) and not np.signbit(pos[1])
+    nan1 = _power_factors_f64(float("nan"), 3)
+    nan2 = _power_factors_f64(float("nan"), 3)
+    assert nan1 is nan2  # NaN keys hit their own cache entry
