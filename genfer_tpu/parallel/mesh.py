@@ -201,6 +201,97 @@ def sharded_conv_nd(mesh, a, b, out_shape):
     return out[: out_shape[0]]
 
 
+def halo_conv_2d(mesh, a, b, out_shape):
+    """Truncated 2-D Cauchy product with *operand storage* sharded:
+    ``a``, ``b`` and the output are all row-sharded over ``tp``, so an
+    8-device mesh holds ~8x the coefficients of one device (SURVEY
+    §2.9's memory-scaling row; the replicated-operand kernels above
+    shard only compute).
+
+    Systolic schedule over ``tp`` steps; at step ``s`` device ``r``
+    holds the accumulator block ``K = r + s`` (blocks rotate one
+    neighbor down per step) and the visiting operand block ``a_s``
+    (one block broadcast per step):
+
+        P = a_s (*) b_r          spans output blocks K, K+1
+        acc_K   += P[:B]         resident (masked when K >= tp)
+        acc_K+1 += P[B:]         one-neighbor ppermute "halo" spill
+        acc      rotates r -> r-1
+
+    After ``tp`` steps every accumulator is back home.  Per-step
+    communication is three O(block) transfers over ICI (broadcast,
+    spill, rotation); per-device peak memory is O(rows/tp), verified by
+    compiled memory_analysis in tests/test_parallel_ops.py."""
+    jax = _jax()
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..taylor.backend import _conv_dense
+
+    c0, c1 = int(out_shape[0]), int(out_shape[1])
+    tp = mesh.shape["tp"]
+    assert c0 % tp == 0, "out rows must divide the tp axis"
+    B = c0 // tp
+    ring_up = [(i, (i + 1) % tp) for i in range(tp)]    # spill r -> r+1
+    ring_down = [(i, (i - 1) % tp) for i in range(tp)]  # acc r -> r-1
+
+    a1 = int(a.shape[1])
+    b1 = int(b.shape[1])
+    W = -(-a1 // tp)  # column chunk: bounds the cubic intermediate of
+    # the local conv at (2B, W, b1) ~ 2n^3/tp^2 per device
+
+    def local_conv(a_vis, b_loc):
+        full = jnp.zeros((2 * B - 1, c1), a_vis.dtype)
+        for t in range(tp):
+            lo = t * W
+            if lo >= a1 or lo >= c1:
+                break
+            hi = min(a1, lo + W)
+            wlen = min(hi - lo + b1 - 1, c1 - lo)
+            part = _conv_dense(
+                jnp, a_vis[:, lo:hi], b_loc, (2 * B - 1, wlen)
+            )
+            full = full.at[:, lo : lo + wlen].add(part)
+        return full
+
+    def kernel(a_loc, b_loc):
+        r = jax.lax.axis_index("tp")
+        acc = jnp.zeros((B, c1), a_loc.dtype)
+
+        def step(s, acc):
+            # broadcast block a_s: psum of the masked local block
+            a_vis = jax.lax.psum(
+                jnp.where(r == s, a_loc, jnp.zeros_like(a_loc)), "tp"
+            )
+            full = local_conv(a_vis, b_loc)
+            low, high = full[:B], full[B:]
+            keep = (r + s < tp)
+            acc = acc + jnp.where(keep, low, jnp.zeros_like(low))
+            spill = jnp.where(keep, high, jnp.zeros_like(high))
+            spill = jax.lax.ppermute(spill, "tp", ring_up)
+            # device 0's received spill wrapped from tp-1: block tp+s,
+            # always truncated
+            ok = (r > 0) & (r + s < tp)
+            pad = jnp.zeros((1, c1), a_loc.dtype)
+            acc = acc + jnp.where(
+                ok, jnp.concatenate([spill, pad]), 0.0
+            )
+            return jax.lax.ppermute(acc, "tp", ring_down)
+
+        acc = jax.lax.fori_loop(0, tp, step, acc)
+        return acc
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P("tp"), P("tp")),
+        out_specs=P("tp"),
+        check_vma=False,
+    )
+    return fn(a, b)
+
+
 def sharded_div_lanes(mesh, xs, ys, out_shape, axis):
     """Power-series division along one effective axis, with the *other*
     lanes sharded over ``tp``: the lower-triangular Toeplitz solve
@@ -316,11 +407,16 @@ class ShardedF64Backend:
     CONV_SHARD_FLOPS = 4_000_000
     #: minimum independent lanes per device for the sharded solve
     MIN_LANES_PER_DEVICE = 8
+    #: output rows from which the memory-scaled halo kernel replaces the
+    #: replicated-operand kernel (the replicated Toeplitz intermediate is
+    #: cubic; the halo kernel holds O(rows/tp) operand + O(n^3/tp^2) temp)
+    HALO_MIN_ROWS = 1024
 
     def __new__(cls, mesh=None, min_rows_per_device: int = 64,
                 conv_shard_flops: int | None = None,
                 min_lanes_per_device: int | None = None,
-                shape_bucket: int = 64):
+                shape_bucket: int = 64,
+                halo_min_rows: int | None = None):
         from ..taylor.backend import HybridBackend, JaxF64Backend
 
         shard_flops = (
@@ -330,6 +426,9 @@ class ShardedF64Backend:
         min_lanes = (
             cls.MIN_LANES_PER_DEVICE if min_lanes_per_device is None
             else min_lanes_per_device
+        )
+        halo_rows = (
+            cls.HALO_MIN_ROWS if halo_min_rows is None else halo_min_rows
         )
 
         class _Impl(JaxF64Backend):
@@ -373,6 +472,23 @@ class ShardedF64Backend:
                     )
                     >= self.conv_shard_flops
                 )
+                if (
+                    tp > 1
+                    and len(eff) == 2
+                    and eff[0] == 0
+                    and out_shape[0] >= halo_rows
+                ):
+                    # memory-scaled path: operand storage sharded 1/tp
+                    rows = ((out_shape[0] + tp - 1) // tp) * tp
+                    cols = out_shape[1]
+                    # operand rows >= out rows never contribute below
+                    # the truncation bound: cut, then zero-pad to blocks
+                    a2 = a.reshape(a.shape[0], -1)[:rows]
+                    b2 = b.reshape(b.shape[0], -1)[:rows]
+                    a2 = self._pad_to(a2, (rows, a2.shape[1]))
+                    b2 = self._pad_to(b2, (rows, b2.shape[1]))
+                    out = halo_conv_2d(self.mesh, a2, b2, (rows, cols))
+                    return out[: out_shape[0]].reshape(out_shape)
                 if (
                     tp > 1
                     and len(eff) == 2

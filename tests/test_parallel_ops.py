@@ -333,3 +333,80 @@ def test_native_seriesops():
     seriesops.conv_trunc(a, a.shape, b, b.shape, out, out.shape)
     ref = np.convolve(a, b)[:64]
     np.testing.assert_allclose(out, ref, rtol=1e-13)
+
+
+def test_halo_conv_2d_memory_scaled():
+    """Operand-storage-sharded systolic conv (VERDICT round-2 item 4):
+    matches the dense kernel exactly and compiles to ~1/tp the dense
+    path's temp memory."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genfer_tpu.parallel.mesh import halo_conv_2d, make_mesh
+    from genfer_tpu.taylor.backend import JaxF64Backend
+
+    mesh = make_mesh(8, dp=1)
+    rng = np.random.default_rng(0)
+    n = 256
+    a = jnp.asarray(rng.random((n, n)))
+    b = jnp.asarray(rng.random((n, n)))
+    dense = JaxF64Backend().conv_trunc(a, b, (n, n))
+    halo = halo_conv_2d(mesh, a, b, (n, n))
+    np.testing.assert_allclose(
+        np.asarray(halo), np.asarray(dense), rtol=1e-12
+    )
+    ma = (
+        jax.jit(lambda a, b: halo_conv_2d(mesh, a, b, (n, n)))
+        .lower(a, b).compile().memory_analysis()
+    )
+    mb = (
+        jax.jit(lambda a, b: JaxF64Backend().conv_trunc(a, b, (n, n)))
+        .lower(a, b).compile().memory_analysis()
+    )
+    ratio = mb.temp_size_in_bytes / max(ma.temp_size_in_bytes, 1)
+    assert ratio >= 4.0, f"halo temp memory only {ratio:.1f}x smaller"
+
+
+def test_sharded_backend_halo_route():
+    """ShardedF64Backend routes big 2-axis convs through the halo
+    kernel (halo_min_rows lowered for the tiny test shapes)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genfer_tpu.parallel.mesh import ShardedF64Backend, make_mesh
+    from genfer_tpu.taylor.backend import NumpyF64Backend
+
+    mesh = make_mesh(8, dp=1)
+    be = ShardedF64Backend(mesh, halo_min_rows=32)
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.random((40, 7)))
+    b = jnp.asarray(rng.random((33, 7)))
+    got = np.asarray(be.conv_trunc(a, b, (40, 13)))
+    ref = np.asarray(NumpyF64Backend().conv_trunc(
+        np.asarray(a), np.asarray(b), (40, 13)
+    ))
+    np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_blocked_conv_matches_direct():
+    """P-block decomposition (ops/blocked_conv) == direct conv, incl.
+    chunked dispatch and the last-chunk mask path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genfer_tpu.ops.blocked_conv import conv2d_blocked, spot_check
+    from genfer_tpu.taylor.backend import JaxF64Backend
+
+    be = JaxF64Backend()
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.random((100, 90)))
+    b = jnp.asarray(rng.random((80, 100)))
+    ref = np.asarray(be.conv_trunc(a, b, (100, 100)))
+    P = 32
+    inner = lambda x, y: be.conv_trunc(x, y, (2 * P - 1, 2 * P - 1))
+    got = np.asarray(
+        conv2d_blocked(a, b, (100, 100), P, inner, group=7)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-12)
+    assert spot_check(a, b, got, 16) < 1e-12
