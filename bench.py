@@ -370,6 +370,131 @@ def bench_population_scan(limit=256, steps=20, batch=64):
     return out
 
 
+def bench_highorder(orders=(1024, 2048)):
+    """Beyond-the-ceiling conv rows (VERDICT round-2 item 3): the
+    P-block decomposition at orders the direct kernels cannot reach —
+    Pallas f32 (P=512, VMEM-capped at 768 direct) and XLA f64 (P=256,
+    emulation-OOM at 1024 direct).  Accuracy = spot check of random
+    output coefficients against host-exact f64 dot products (the full
+    host conv is infeasible at these orders).  Timing = steady-state
+    second call with np.asarray readback (block_until_ready is a no-op
+    through the tunnel)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_enable_x64", True)
+    from genfer_tpu.ops.blocked_conv import conv2d_blocked, spot_check
+    from genfer_tpu.ops.pallas_conv2d import conv2d_pallas
+    from genfer_tpu.taylor.backend import JaxF64Backend
+
+    be = JaxF64Backend()
+    results = {}
+    rng = np.random.default_rng(0)
+    for order in orders:
+        a = jnp.asarray(rng.random((order, order)))
+        b = jnp.asarray(rng.random((order, order)))
+        # truncated-product MACs (the honest flop count; boundary-pair
+        # overshoot is kernel overhead, not work delivered)
+        macs = flops_conv_trunc((order, order), (order, order)) / 2
+        row = {}
+        for name, P, inner, group in (
+            (
+                "pallas_f32", 512,
+                lambda x, y: conv2d_pallas(
+                    x, y, (2 * 512 - 1, 2 * 512 - 1), highest=True
+                ),
+                32,
+            ),
+            (
+                "xla_f64", 256,
+                lambda x, y: be.conv_trunc(
+                    x, y, (2 * 256 - 1, 2 * 256 - 1)
+                ),
+                25,
+            ),
+        ):
+            try:
+                kw = dict(out_dtype=jnp.float64)
+                np.asarray(conv2d_blocked(
+                    a, b, (order, order), P, inner, group=group, **kw
+                ))  # compile + warm
+                t0 = time.perf_counter()
+                out = np.asarray(conv2d_blocked(
+                    a, b, (order, order), P, inner, group=group, **kw
+                ))
+                dt = time.perf_counter() - t0
+                err = spot_check(a, b, out, 64)
+                row[name] = {
+                    "seconds": round(dt, 3),
+                    "gflops": round(2 * macs / dt / 1e9, 1),
+                    "spot_rel_err": float(f"{err:.3e}"),
+                }
+            except Exception as e:  # record, keep going
+                row[name] = f"FAILED {type(e).__name__}: {e}"
+            print(f"highorder {order} {name}: {row[name]}",
+                  file=sys.stderr, flush=True)
+        results[order] = row
+    return results
+
+
+_NESTED_WIDE = """
+Class ~ Binomial({k}, 0.5);
+normalize Class {{
+    Rate ~ Geometric(0.1);
+    observe 5 ~ Poisson(0.2 * Rate);
+    if Class <= {half} {{
+        observe 3 ~ Poisson(0.2 * Rate);
+    }} else {{
+        observe 8 ~ Poisson(0.2 * Rate);
+    }}
+}}
+observe 4 ~ Poisson(0.1 * Rate);
+return Class
+"""
+
+
+def bench_nested(k=63):
+    """Batched nested-inference enumeration (VERDICT round-2 item 5):
+    the interpreter enumerates the normalize block once per value of
+    the given variable (k+1 slices, gf.rs:589-634); the mass-semantics
+    compiled path renormalizes all slices in one vectorized pass.
+    Correctness is pinned in tests/test_scanc.py; this records the
+    measured times on the same program."""
+    import io
+    import tempfile
+    import time
+    from contextlib import redirect_stdout
+
+    from genfer_tpu.cli import main as cli_main
+
+    src = _NESTED_WIDE.format(k=k, half=k // 2)
+    with tempfile.NamedTemporaryFile("w", suffix=".sgcl",
+                                     delete=False) as f:
+        f.write(src)
+        path = f.name
+    out = {}
+    for name, flags in (
+        ("interpreter", ["--backend", "numpy"]),
+        ("mass_compiled", ["--compile-scan"]),
+        ("mass_compiled_steady", ["--compile-scan"]),
+    ):
+        t0 = time.perf_counter()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            cli_main([path, "--no-timing", "--limit", str(k + 1), *flags])
+        out[name] = round(time.perf_counter() - t0, 3)
+        print(f"nested[{name}]: {out[name]}s", file=sys.stderr)
+    out["given_range"] = k + 1
+    if out["mass_compiled_steady"]:
+        out["speedup_steady"] = round(
+            out["interpreter"] / out["mass_compiled_steady"], 1
+        )
+    return out
+
+
 def bench_suite(num_runs=1):
     """End-to-end wall-clock on the neurips2023 exact suite.  Mirrors the
     reference protocol: fp on ``<name>.sgcl``, rational on
@@ -621,12 +746,15 @@ def main():
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--serving", action="store_true")
     ap.add_argument("--scan", action="store_true")
+    ap.add_argument("--highorder", action="store_true")
     ap.add_argument("--all", action="store_true",
-                    help="suite + scaling + pallas + serving + scan")
+                    help="suite + scaling + pallas + serving + scan + "
+                    "highorder")
     args = ap.parse_args()
     if args.all:
         args.suite = args.scaling = args.pallas = args.serving = True
         args.scan = True
+        args.highorder = True
 
     gflops, dt = bench_kernel(order=args.order, ndim=args.ndim)
     print(
@@ -677,6 +805,11 @@ def main():
         save(extra)
     if args.scan:
         extra["population_scan"] = bench_population_scan()
+        save(extra)
+        extra["nested_enumeration"] = bench_nested()
+        save(extra)
+    if args.highorder:
+        extra["highorder_conv"] = bench_highorder()
         save(extra)
     if args.suite:
         extra["suite"] = bench_suite()

@@ -64,29 +64,36 @@ class GenFun:
         # used_vars computed eagerly: children exist before parents, so
         # this is O(len(args)) per node and used_vars() is O(1) — the
         # per-call DAG walk was O(whole DAG) per observe (12k observes in
-        # switchpoint made GF construction quadratic).
-        if kind == VAR:
-            uv = var + 1
-        elif kind == CONST:
-            uv = 0
-        elif kind == POLYNOMIAL:
-            uv = order  # ndim
+        # switchpoint made GF construction quadratic).  Branch order:
+        # leaf kinds (Const dominates large programs) take the cheap
+        # empty-args path.
+        if not args:
+            if kind == VAR:
+                self._uv = var + 1
+            elif kind == POLYNOMIAL:
+                self._uv = order  # ndim
+            else:  # CONST
+                self._uv = 0
         elif kind == SUBST:
             g, subst = args
             uv = g._uv
             if var + 1 == uv:
                 uv = var
-            uv = max(uv, subst._uv)
+            sv = subst._uv
+            self._uv = uv if uv >= sv else sv
         elif kind == TAYLOR_COEFF_AT_ZERO:
             uv = args[0]._uv
             if var + 1 == uv:
                 uv = var
+            self._uv = uv
+        elif len(args) == 1:
+            self._uv = args[0]._uv
         else:
             uv = 0
             for a in args:
                 if a._uv > uv:
                     uv = a._uv
-        self._uv = uv
+            self._uv = uv
 
     # -- smart constructors (reference: generating_function.rs:49-149) --
     @staticmethod

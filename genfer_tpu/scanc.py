@@ -761,7 +761,50 @@ class _MassCompiler:
             return lambda g, xs: self._matrix_apply(g, v, K)
         if isinstance(stmt, ast.Fail):
             return lambda g, xs: jnp.zeros_like(g)
+        if isinstance(stmt, ast.Normalize):
+            return self._normalize_op(stmt)
         raise UnsupportedForScan(f"statement {type(stmt).__name__}")
+
+    def _normalize_op(self, stmt: ast.Normalize) -> Callable:
+        """Nested inference, batched: the reference (and the GF
+        interpreter, gf_transformer.transform_normalize = gf.rs:589-634)
+        enumerates every value of the given variables, extracting and
+        renormalizing one coefficient slice per value.  In mass space
+        the block operators are linear and slice-preserving in the
+        given axes, so ALL slices renormalize in one vectorized pass:
+        scale = pre-mass / post-mass per joint given-value slice
+        (zero-mass slices contribute zero, the engine's documented
+        graceful handling of the reference's panic)."""
+        jnp = self.jnp
+        gv = set(stmt.given_vars)
+        # the block must not resample/overwrite a given variable: that
+        # would mix mass across the slices being conditioned on
+        def check(stmts):
+            for s in stmts:
+                if isinstance(s, (ast.Sample, ast.Assign, ast.Decrement)):
+                    if s.var in gv:
+                        raise UnsupportedForScan(
+                            "normalize block resamples a given variable"
+                        )
+                elif isinstance(s, ast.IfThenElse):
+                    check(s.then)
+                    check(s.els)
+                elif isinstance(s, ast.Normalize):
+                    check(s.stmts)
+                elif isinstance(s, ast.While):
+                    raise UnsupportedForScan("while inside normalize")
+        check(stmt.stmts)
+        inner = self.compile_block(stmt.stmts)
+        other = tuple(a for a in range(self.nv) if a not in gv)
+
+        def ap(g, xs):
+            pre = jnp.sum(g, axis=other, keepdims=True) if other else g
+            h = inner(g, xs)
+            post = jnp.sum(h, axis=other, keepdims=True) if other else h
+            safe = jnp.where(post > 0, post, 1.0)
+            return h * jnp.where(post > 0, pre / safe, 0.0)
+
+        return ap
 
     def _sample_op(self, stmt: ast.Sample) -> Callable:
         jnp = self.jnp
@@ -1018,12 +1061,17 @@ class ScanCompiled:
             g = g / jnp.exp2(e)
             return (g, logz + e), None
 
+        has_scan = rep.n_iters > 0 and len(rep.template) > 0
+
         def run(g0, xs):
             g = pre_ap(g0, ())
             m = jnp.max(g)
             e0 = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
             g = g / jnp.exp2(e0)
-            (g, logz), _ = jax.lax.scan(step, (g, e0), xs)
+            if has_scan:
+                (g, logz), _ = jax.lax.scan(step, (g, e0), xs)
+            else:
+                logz = e0
             g = post_ap(g, ())
             axes = tuple(a for a in range(len(sizes)) if a != rv)
             marg = jnp.sum(g, axis=axes) if axes else g
@@ -1047,12 +1095,27 @@ def compile_scan(program: ast.Program, order: int = 128,
     the grid order until two consecutive orders agree to ``rtol``.
     Returns ``(masses, Z, n_iters)``; raises UnsupportedForScan if the
     program is outside the fragment or never converges."""
-    for s in program.stmts:
-        if isinstance(s, (ast.While, ast.Normalize)):
-            raise UnsupportedForScan(f"{type(s).__name__} statement")
+    def _no_while(stmts):
+        for s in stmts:
+            if isinstance(s, ast.While):
+                raise UnsupportedForScan("While statement")
+            if isinstance(s, ast.IfThenElse):
+                _no_while(s.then)
+                _no_while(s.els)
+            elif isinstance(s, ast.Normalize):
+                _no_while(s.stmts)
+
+    _no_while(program.stmts)
     rep = detect_repetition(program.stmts, min_iters=min_iters)
     if rep is None:
-        raise UnsupportedForScan("no repeated observation block found")
+        # no repeated block: compile the whole program as straight-line
+        # mass semantics (still grid-validated by order doubling) — this
+        # covers e.g. nested-inference programs, whose normalize blocks
+        # batch over the given-variable axes instead of enumerating
+        rep = Repetition(
+            prologue=tuple(program.stmts), template=(), data=[],
+            n_iters=0, epilogue=(),
+        )
     prev = None
     o = order
     while o <= max_order:

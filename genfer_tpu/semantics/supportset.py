@@ -305,6 +305,17 @@ class VarSupport:
     def empty(num_vars: int) -> "VarSupport":
         return VarSupport(empty_len=num_vars)
 
+    @classmethod
+    def _trusted(cls, supports: list) -> "VarSupport":
+        """Construct from components known non-empty (clone/join of
+        already-normalized domains) without the O(num_vars) rescan —
+        the rescan per construction made the transformer quadratic-ish
+        on many-variable programs (digitRecognition: 794 vars)."""
+        vs = cls.__new__(cls)
+        vs.supports = supports
+        vs.empty_len = None
+        return vs
+
     @staticmethod
     def zero(count: int) -> "VarSupport":
         return VarSupport([SupportSet.zero() for _ in range(count)])
@@ -338,13 +349,17 @@ class VarSupport:
 
     def update(self, v: int, f):
         if self.supports is not None:
-            self.supports[v] = f(self.supports[v])
-            self._normalize()
+            new = f(self.supports[v])
+            self.supports[v] = new
+            # only the changed component can introduce emptiness
+            if new.is_empty():
+                self.empty_len = len(self.supports)
+                self.supports = None
 
     def clone(self) -> "VarSupport":
         if self.supports is None:
             return VarSupport.empty(self.empty_len)
-        return VarSupport(list(self.supports))
+        return VarSupport._trusted(list(self.supports))
 
     def join(self, other: "VarSupport") -> "VarSupport":
         if self.supports is None:
@@ -352,7 +367,8 @@ class VarSupport:
         if other.supports is None:
             return self.clone()
         assert len(self.supports) == len(other.supports)
-        return VarSupport(
+        # unions of non-empty components are non-empty
+        return VarSupport._trusted(
             [a.join(b) for a, b in zip(self.supports, other.supports)]
         )
 

@@ -39,6 +39,14 @@ Shape = tuple[int, ...]
 
 
 def _norm_shape(shape: Sequence[int]) -> Shape:
+    # fast path: already a tuple of python ints (the overwhelmingly
+    # common case — 50k+ calls per large-program simplify)
+    if type(shape) is tuple:
+        for s in shape:
+            if type(s) is not int:
+                break
+        else:
+            return shape
     return tuple(int(s) for s in shape)
 
 

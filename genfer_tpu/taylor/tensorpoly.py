@@ -301,6 +301,8 @@ class TaylorPoly:
             if nd != INF_DEGREE and shape[v] > nd:
                 coeffs = b.slice_axis(coeffs, v, 0, _as_int(nd))
                 changed = True
+        if not changed and degrees == self.degrees_p1:
+            return self  # immutable: nothing sliced, degrees unchanged
         lin = self.linear
         if changed:
             lin = None  # slicing could drop the linear coefficient

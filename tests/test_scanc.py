@@ -54,10 +54,28 @@ def test_approx_goldens(name):
     reason="two_populations doubles to order 512 (~1 min)",
 )
 def test_two_populations_golden():
+    """Also covers the reference's two_populations2000 stress case
+    (test/expect/slow/two_populations2000.sgcl is the same program; the
+    name is the Taylor order the reference's degree-inflating engine
+    needs — mass-space truncation converges at 512): the posterior
+    masses are pinned against that expect file."""
     Z_exp, E_exp = _expect_values("two_populations")
     masses, Z, E = _scan_run("two_populations")
     assert abs(Z - Z_exp) / Z_exp <= 1e-12
     assert abs(E - E_exp) / E_exp <= 1e-12
+    expect2000 = Path(
+        "/root/reference/test/expect/slow/two_populations2000.expect"
+    ).read_text()
+    pinned = {
+        int(m.group(1)): float(m.group(2))
+        for m in re.finditer(
+            r"Unnormalized: p\((\d+)\)\s*=\s*([\d.e+-]+)", expect2000
+        )
+    }
+    assert pinned, "expect file format changed"
+    for k, v in pinned.items():
+        if v > 1e-200:
+            assert abs(masses[k] - v) / v <= 1e-11, (k, masses[k], v)
 
 
 def test_detection_shape():
@@ -210,3 +228,48 @@ def test_skew_add():
                 if 0 <= c - r:
                     want[r, c] = g[r, c - r]
         np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_nested_normalize_batched():
+    """Nested inference (normalize given vars) batches over the given
+    axes in mass space — one vectorized pass instead of the per-value
+    enumeration of gf.rs:589-634 — and matches the committed golden."""
+    from genfer_tpu.lang.parser import parse_file
+    from genfer_tpu.scanc import compile_scan
+
+    prog = parse_file(
+        "/root/reference/test/expect/slow/nested_infer_expensive.sgcl"
+    )
+    masses, Z, _ = compile_scan(prog, order=128)
+    assert abs(Z - 0.014520434896172203) / 0.014520434896172203 <= 1e-12
+    assert abs(masses[0] / Z - 0.3067209034541812) <= 1e-12
+    assert abs(masses[1] / Z - 0.6932790965458189) <= 1e-12
+
+
+NESTED_WIDE = """
+Class ~ Binomial(15, 0.5);
+normalize Class {
+    Rate ~ Geometric(0.1);
+    observe 5 ~ Poisson(0.2 * Rate);
+    if Class <= 7 {
+        observe 3 ~ Poisson(0.2 * Rate);
+    } else {
+        observe 8 ~ Poisson(0.2 * Rate);
+    }
+}
+observe 4 ~ Poisson(0.1 * Rate);
+return Class
+"""
+
+
+def test_nested_normalize_wide_matches_interpreter():
+    """Wider given-variable range: the mass path's single vectorized
+    renormalization equals the interpreter's 16-way enumeration."""
+    ref = _parse_probs(_cli(NESTED_WIDE, "--limit", "16"))
+    got = _parse_probs(
+        _cli(NESTED_WIDE, "--limit", "16", "--compile-scan")
+    )
+    assert set(got) == set(ref)
+    for k, v in ref.items():
+        if v > 1e-280:
+            assert abs(got[k] - v) / v <= 1e-10, (k, got[k], v)
