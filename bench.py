@@ -440,6 +440,44 @@ def bench_highorder(orders=(1024, 2048)):
     return results
 
 
+def bench_generic_serving(batch=256, steps=109):
+    """Generic scan-compiled serving on the device: the mixture
+    benchmark compiled ONCE from its parsed source (scanc, no
+    hand-modeling), then batches of fresh datasets served through the
+    vmapped scan.  Complements the hand-family serving rows."""
+    import time
+
+    import numpy as np
+
+    from genfer_tpu.lang.parser import parse_file
+    from genfer_tpu.scanc import compile_scan_program
+
+    prog = parse_file(
+        "/root/reference/benchmarks/neurips2023/approx/mixture/"
+        "mixture.sgcl"
+    )
+    obj, (_, Z) = compile_scan_program(prog, order=128, max_steps=128)
+    rng = np.random.default_rng(0)
+    bc = rng.integers(0, 8, size=(batch, steps)).astype(np.float64)
+    t0 = time.perf_counter()
+    obj.run_batch([bc, bc])  # compile + warm
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    masses, totals = obj.run_batch([bc, bc])
+    dt = time.perf_counter() - t0
+    out = {
+        "model": "mixture (parsed, scanc)",
+        "batch": batch,
+        "steps": steps,
+        "grid_order": obj.order,
+        "warm_seconds": round(warm, 3),
+        "steady_seconds": round(dt, 3),
+        "inferences_per_s": round(batch / dt, 1),
+    }
+    print(f"generic serving: {out}", file=sys.stderr)
+    return out
+
+
 _NESTED_WIDE = """
 Class ~ Binomial({k}, 0.5);
 normalize Class {{
@@ -802,6 +840,8 @@ def main():
         save(extra)
     if args.serving:
         extra["serving"] = bench_serving()
+        save(extra)
+        extra["generic_serving"] = bench_generic_serving()
         save(extra)
     if args.scan:
         extra["population_scan"] = bench_population_scan()

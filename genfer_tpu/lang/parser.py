@@ -40,6 +40,7 @@ class _Parser:
         self.text = text
         self.pos = 0
         self.vars: list[str] = []
+        self._clean = -1  # position already known whitespace-free
 
     # -- low-level helpers ---------------------------------------------
     def error(self, msg: str):
@@ -48,6 +49,10 @@ class _Parser:
         raise ParseError(f"Parse error at line {line}, column {col}: {msg}")
 
     def skip_ws(self):
+        # every peek calls this; positions already cleaned are memoized
+        # (pos is monotonic, so a stale marker can never match again)
+        if self.pos == self._clean:
+            return
         m = _WS_RE.match(self.text, self.pos)
         if m:
             self.pos = m.end()
@@ -55,6 +60,7 @@ class _Parser:
             self.error(
                 "Unterminated comment: found opening `#=` but no closing `=#`"
             )
+        self._clean = self.pos
 
     def peek_str(self, s: str) -> bool:
         self.skip_ws()

@@ -1012,18 +1012,31 @@ def _collect_ratio_params(dist) -> list:
 # ----------------------------------------------------------------------
 
 class ScanCompiled:
-    """A compiled scan program at one grid order.  ``run()`` returns
-    ``(masses, Z)``: the full unnormalized posterior marginal of the
-    result variable (length = its axis size) and the total retained
-    mass, both host-f64."""
+    """A compiled scan program at one grid order.
 
-    def __init__(self, program: ast.Program, rep: Repetition, order: int):
+    ``run()`` returns ``(masses, Z)``: the full unnormalized posterior
+    marginal of the result variable (length = its axis size) and the
+    total retained mass, both host-f64.
+
+    Serving mode: the compiled graph is independent of the observation
+    DATA (the detected per-iteration constants) — ``run_with_data``
+    re-runs the same XLA program on a new dataset (shorter datasets are
+    padded with valid-masked no-op steps up to ``max_steps``), and
+    ``run_batch`` serves a whole batch of datasets through one vmapped
+    dispatch.  This is the hand-built model families' "parameterized
+    observation counts" serving mode (models/population.py), available
+    for ANY detected program."""
+
+    def __init__(self, program: ast.Program, rep: Repetition, order: int,
+                 max_steps: Optional[int] = None):
         import jax
         import jax.numpy as jnp
 
         jax.config.update("jax_enable_x64", True)
         self.program = program
         self.order = order
+        self.rep = rep
+        self.max_steps = int(max_steps or max(rep.n_iters, 1))
         sizes = grid_sizes(program, order)
         self.sizes = sizes
         mc = _MassCompiler(sizes)
@@ -1032,34 +1045,25 @@ class ScanCompiled:
         if n_pre_feeds:
             raise UnsupportedForScan("slots escaped into the prologue")
         tpl_ap = mc.compile_block(rep.template)
-        tpl_feeds = mc.feeds[n_pre_feeds:]
+        self._feeds = mc.feeds[n_pre_feeds:]
         n_tpl = len(mc.feeds)
         post_ap = mc.compile_block(rep.epilogue)
         if len(mc.feeds) != n_tpl:
             raise UnsupportedForScan("slots escaped into the epilogue")
-        # host-precompute stacked per-iteration feed arrays
-        xs_stacked = []
-        for spec in tpl_feeds:
-            rows = [
-                np.asarray(spec([col[i] for col in rep.data]),
-                           dtype=np.float64)
-                for i in range(rep.n_iters)
-            ]
-            xs_stacked.append(np.stack(rows))
-        if not xs_stacked:
-            # scan length must come from somewhere even when every
-            # iteration is literally identical
-            xs_stacked.append(np.zeros(rep.n_iters))
-        self._xs = tuple(jnp.asarray(a) for a in xs_stacked)
+        self._xs = self.prepare_xs(rep.data, rep.n_iters)
         rv = program.result
 
-        def step(carry, xs):
+        def step(carry, xs_v):
+            xs, valid = xs_v[:-1], xs_v[-1]
             g, logz = carry
-            g = tpl_ap(g, xs)
-            m = jnp.max(g)
+            gn = tpl_ap(g, xs)
+            m = jnp.max(gn)
             e = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
-            g = g / jnp.exp2(e)
-            return (g, logz + e), None
+            gn = gn / jnp.exp2(e)
+            return (
+                jnp.where(valid > 0, gn, g),
+                logz + jnp.where(valid > 0, e, 0.0),
+            ), None
 
         has_scan = rep.n_iters > 0 and len(rep.template) > 0
 
@@ -1078,14 +1082,86 @@ class ScanCompiled:
             return marg, logz
 
         self._run = jax.jit(run)
+        self._run_batch = jax.jit(jax.vmap(run, in_axes=(None, 0)))
         g0 = np.zeros(sizes)
         g0[(0,) * len(sizes)] = 1.0
         self._g0 = g0
+
+    # -- data preparation ----------------------------------------------
+    def prepare_xs(self, data_cols, n_steps: Optional[int] = None):
+        """Host-precompute the stacked per-iteration feed arrays for a
+        dataset (one array per slot, each of length <= max_steps) plus
+        the trailing valid mask; shorter datasets are padded with
+        masked copies of their last step."""
+        import jax.numpy as jnp
+
+        if data_cols:
+            n = len(data_cols[0])
+        else:
+            n = n_steps if n_steps is not None else self.rep.n_iters
+        if n == 0 and self._feeds:
+            raise UnsupportedForScan("empty dataset")
+        cap = max(getattr(self, "max_steps", n), n)
+        keys = [
+            tuple(col[i] for col in data_cols) for i in range(n)
+        ]
+        xs_stacked = []
+        for spec in self._feeds:
+            # iteration values repeat heavily (observation counts draw
+            # from a small alphabet): memoize the host row per distinct
+            # slot-value tuple
+            memo: dict = {}
+            rows = []
+            for i in range(n):
+                row = memo.get(keys[i])
+                if row is None:
+                    row = np.asarray(
+                        spec(list(keys[i])), dtype=np.float64
+                    )
+                    memo[keys[i]] = row
+                rows.append(row)
+            rows += [rows[-1]] * (cap - n)
+            xs_stacked.append(np.stack(rows))
+        valid = np.concatenate(
+            [np.ones(n), np.zeros(cap - n)]
+        )
+        xs_stacked.append(valid)
+        return tuple(jnp.asarray(a) for a in xs_stacked)
 
     def run(self):
         marg, logz = self._run(self._g0, self._xs)
         masses = np.asarray(marg, dtype=np.float64) * 2.0 ** float(logz)
         return masses, float(masses.sum())
+
+    def run_with_data(self, data_cols):
+        """Unnormalized posterior masses for a new dataset (list of
+        per-slot value arrays, same slot order as ``rep.data``)."""
+        xs = self.prepare_xs(
+            [np.asarray(c, dtype=np.float64) for c in data_cols]
+        )
+        marg, logz = self._run(self._g0, xs)
+        masses = np.asarray(marg, dtype=np.float64) * 2.0 ** float(logz)
+        return masses, float(masses.sum())
+
+    def run_batch(self, batch_cols):
+        """Batched serving: ``batch_cols`` is a list over slots of
+        (B, n_steps) arrays; returns (B, result_size) masses and (B,)
+        totals through one vmapped dispatch."""
+        import jax.numpy as jnp
+
+        B = int(np.asarray(batch_cols[0]).shape[0]) if batch_cols else 1
+        per = []
+        for i in range(B):
+            per.append(self.prepare_xs(
+                [np.asarray(c[i], dtype=np.float64) for c in batch_cols]
+            ))
+        xs = tuple(
+            jnp.stack([p[j] for p in per]) for j in range(len(per[0]))
+        )
+        marg, logz = self._run_batch(self._g0, xs)
+        scale = 2.0 ** np.asarray(logz, dtype=np.float64)
+        masses = np.asarray(marg, dtype=np.float64) * scale[:, None]
+        return masses, masses.sum(axis=1)
 
 
 def compile_scan(program: ast.Program, order: int = 128,
@@ -1095,6 +1171,21 @@ def compile_scan(program: ast.Program, order: int = 128,
     the grid order until two consecutive orders agree to ``rtol``.
     Returns ``(masses, Z, n_iters)``; raises UnsupportedForScan if the
     program is outside the fragment or never converges."""
+    obj, (masses, Z) = compile_scan_program(
+        program, order=order, min_iters=min_iters,
+        max_order=max_order, rtol=rtol,
+    )
+    return masses, Z, obj.rep.n_iters
+
+
+def compile_scan_program(program: ast.Program, order: int = 128,
+                         min_iters: int = 4, max_order: int = 4096,
+                         rtol: float = 1e-12,
+                         max_steps: Optional[int] = None):
+    """Like :func:`compile_scan` but returns the converged
+    :class:`ScanCompiled` object (for serving: ``run_with_data`` /
+    ``run_batch``) together with its ``(masses, Z)`` on the committed
+    dataset."""
     def _no_while(stmts):
         for s in stmts:
             if isinstance(s, ast.While):
@@ -1116,10 +1207,11 @@ def compile_scan(program: ast.Program, order: int = 128,
             prologue=tuple(program.stmts), template=(), data=[],
             n_iters=0, epilogue=(),
         )
-    prev = None
+    prev = prev_obj = None
     o = order
     while o <= max_order:
-        cur = ScanCompiled(program, rep, o).run()
+        obj = ScanCompiled(program, rep, o, max_steps=max_steps)
+        cur = obj.run()
         if prev is not None:
             m_prev, z_prev = prev
             m_cur, z_cur = cur
@@ -1128,8 +1220,11 @@ def compile_scan(program: ast.Program, order: int = 128,
             if scale > 0.0 and np.allclose(
                 m_prev[:k], m_cur[:k], rtol=rtol, atol=scale * 1e-15
             ) and abs(z_prev - z_cur) <= rtol * scale:
-                return cur[0], cur[1], rep.n_iters
-        prev = cur
+                # the smaller grid is the validated one (it agrees with
+                # its doubling to rtol) — keep it: half the memory and
+                # traffic for serving reruns
+                return prev_obj, prev
+        prev, prev_obj = cur, obj
         o *= 2
     raise UnsupportedForScan(
         f"truncation did not converge below order {max_order}"

@@ -273,3 +273,24 @@ def test_nested_normalize_wide_matches_interpreter():
     for k, v in ref.items():
         if v > 1e-280:
             assert abs(got[k] - v) / v <= 1e-10, (k, got[k], v)
+
+
+def test_scan_serving_batch():
+    """Generic serving: compile once from the parsed benchmark, then
+    re-run on new datasets (padded shorter ones) and a vmapped batch;
+    batch rows equal individual runs exactly."""
+    from genfer_tpu.lang.parser import parse_file
+    from genfer_tpu.scanc import compile_scan_program
+
+    prog = parse_file(str(APPROX / "mixture" / "mixture.sgcl"))
+    obj, (masses, Z) = compile_scan_program(prog, order=128,
+                                            max_steps=128)
+    assert abs(Z - 8.714656341711538e-85) / 8.714656341711538e-85 < 1e-11
+    rng = np.random.default_rng(3)
+    B = 4
+    bc = rng.integers(0, 7, size=(B, 40)).astype(np.float64)
+    mb, zb = obj.run_batch([bc, bc])
+    for i in range(B):
+        mi, zi = obj.run_with_data([bc[i], bc[i]])
+        np.testing.assert_allclose(mb[i], mi, rtol=1e-12)
+    assert np.isfinite(zb).all() and (zb > 0).all()
