@@ -807,6 +807,18 @@ def main():
             f"{host_gflops:.2f} GFLOP/s",
             file=sys.stderr,
         )
+    # mandatory real-hardware Pallas smoke (the suite can only exercise
+    # interpret mode): a tiny fused-kernel call must produce sane output
+    # every bench run so Mosaic regressions surface immediately
+    try:
+        import jax
+
+        if jax.default_backend() not in ("cpu",):
+            smoke = bench_pallas_kernel(order=256, iters=2)
+            assert smoke["max_rel_err_vs_f64"] < 1e-4, smoke
+            print(f"pallas smoke @256 OK: {smoke}", file=sys.stderr)
+    except Exception as e:  # never break the headline metric
+        print(f"pallas smoke FAILED: {e}", file=sys.stderr)
     def save(extra):
         # merge + write after every phase: a crashed later phase (the
         # remote TPU worker can exhaust memory in long processes) must
