@@ -1217,9 +1217,14 @@ def compile_scan_program(program: ast.Program, order: int = 128,
             m_cur, z_cur = cur
             k = min(len(m_prev), len(m_cur))
             scale = max(z_cur, np.max(m_cur) if len(m_cur) else 0.0)
-            if scale > 0.0 and np.allclose(
+            zero_measure = (
+                scale == 0.0
+                and z_prev == 0.0
+                and not np.any(m_prev)
+            )
+            if zero_measure or (scale > 0.0 and np.allclose(
                 m_prev[:k], m_cur[:k], rtol=rtol, atol=scale * 1e-15
-            ) and abs(z_prev - z_cur) <= rtol * scale:
+            ) and abs(z_prev - z_cur) <= rtol * scale):
                 # the smaller grid is the validated one (it agrees with
                 # its doubling to rtol) — keep it: half the memory and
                 # traffic for serving reruns

@@ -406,3 +406,30 @@ def test_uniformcont_poisson_mpmath(seed):
         ))
         if want > 1e-300:
             assert abs(p - want) / want < 1e-8, (n, p, want)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_program_scan_vs_bruteforce(seed):
+    """The generic mass-semantics compiler (scanc, straight-line mode)
+    against the exact enumeration oracle on the same random finite-
+    support corpus: exercises the Decrement / affine-Assign /
+    VarComparison / InSet / complement / Dirac / Categorical mass
+    operators far beyond the approx-benchmark shapes."""
+    import numpy as np
+
+    from genfer_tpu.scanc import UnsupportedForScan, compile_scan
+
+    rng = random.Random(seed)
+    src = random_program(rng)
+    program = parse_program(src)
+    oracle = brute_force(program)
+    try:
+        masses, Z, _ = compile_scan(program, order=32)
+    except UnsupportedForScan as e:
+        pytest.skip(f"outside scan fragment: {e}")
+    total_exact = float(sum(oracle.values()))
+    assert abs(Z - total_exact) <= 1e-12 * max(total_exact, 1e-30), src
+    for k, v in oracle.items():
+        vf = float(v)
+        got = float(masses[k]) if k < len(masses) else 0.0
+        assert abs(got - vf) <= 1e-12 * max(vf, 1e-30), (k, got, vf, src)
