@@ -1088,11 +1088,13 @@ class ScanCompiled:
         self._g0 = g0
 
     # -- data preparation ----------------------------------------------
-    def prepare_xs(self, data_cols, n_steps: Optional[int] = None):
+    def prepare_xs(self, data_cols, n_steps: Optional[int] = None,
+                   memo: Optional[dict] = None):
         """Host-precompute the stacked per-iteration feed arrays for a
         dataset (one array per slot, each of length <= max_steps) plus
         the trailing valid mask; shorter datasets are padded with
-        masked copies of their last step."""
+        masked copies of their last step.  ``memo`` (keyed by
+        (feed index, slot-value tuple)) may be shared across a batch."""
         import jax.numpy as jnp
 
         if data_cols:
@@ -1105,20 +1107,22 @@ class ScanCompiled:
         keys = [
             tuple(col[i] for col in data_cols) for i in range(n)
         ]
+        if memo is None:
+            memo = {}
         xs_stacked = []
-        for spec in self._feeds:
+        for fi, spec in enumerate(self._feeds):
             # iteration values repeat heavily (observation counts draw
             # from a small alphabet): memoize the host row per distinct
             # slot-value tuple
-            memo: dict = {}
             rows = []
             for i in range(n):
-                row = memo.get(keys[i])
+                mk = (fi, keys[i])
+                row = memo.get(mk)
                 if row is None:
                     row = np.asarray(
                         spec(list(keys[i])), dtype=np.float64
                     )
-                    memo[keys[i]] = row
+                    memo[mk] = row
                 rows.append(row)
             rows += [rows[-1]] * (cap - n)
             xs_stacked.append(np.stack(rows))
@@ -1150,10 +1154,12 @@ class ScanCompiled:
         import jax.numpy as jnp
 
         B = int(np.asarray(batch_cols[0]).shape[0]) if batch_cols else 1
+        memo: dict = {}
         per = []
         for i in range(B):
             per.append(self.prepare_xs(
-                [np.asarray(c[i], dtype=np.float64) for c in batch_cols]
+                [np.asarray(c[i], dtype=np.float64) for c in batch_cols],
+                memo=memo,
             ))
         xs = tuple(
             jnp.stack([p[j] for p in per]) for j in range(len(per[0]))
