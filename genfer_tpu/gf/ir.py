@@ -862,6 +862,91 @@ def _const_term_host(poly: TaylorPoly):
 # (reference: generating_function.rs:670-765)
 # ----------------------------------------------------------------------
 
+
+def _fused_chain_f64(backend, gpoly, v, lam, csub, order, degree_p1,
+                     discrete):
+    """Run the compound-Poisson derivative chain as raw-array stencils.
+
+    One chain step at truncation target ``tgt`` is
+
+        R[i] = (lam/k) * (c*(i+1)*G[i+1] + i*G[i])        (discrete)
+        R[i] = (lam/k) * (i+1)*G[i+1]                      (continuous)
+
+    which is exactly ``derivative -> truncate -> mul_linear/scalar``
+    (reference generating_function.rs:684-694 folds 1/k! the same way)
+    but in ~3 array passes instead of ~50 Python-level TensorPoly calls
+    per step.  Observation-chain models evaluate this O(n^2) times on
+    the substitution lattice, so the dispatch overhead dominated
+    end-to-end time (mixture: 218 observes -> 24k chain evaluations).
+
+    Only active on concrete host-f64 backends; returns ``None`` to fall
+    back to the generic TensorPoly loop (identical semantics) otherwise.
+    """
+    from ..numbers.scalar import F64
+    from ..taylor.backend import NumpyF64Backend
+    from ..taylor.tensorpoly import _sat_sub
+
+    if order < 1 or not isinstance(backend, NumpyF64Backend):
+        return None
+    if backend.scalar_cls is not F64 or not isinstance(lam, F64):
+        return None
+    if discrete and not isinstance(csub, F64):
+        return None
+    arr = gpoly.coeffs
+    nd = arr.ndim
+    if v >= nd or arr.shape[v] <= 1:
+        return None
+    np_ = backend.jnp
+    dt = backend.dtype
+    lam_f = lam.v
+    c_f = csub.v if discrete else 0.0
+    degrees = list(gpoly.degrees_p1)
+    for k in range(1, order + 1):
+        L0 = arr.shape[v]
+        if L0 <= 1:
+            # array exhausted: remaining steps collapse to the zero poly
+            # with 1-sized axes, matching TaylorPoly.derivative's zero
+            # case; the generic ops handle this without array work.
+            return None
+        tgt = degree_p1 + order - k
+        # derivative along v (keeps the k! factor): D[i] = (i+1)*G[i+1]
+        m = L0 - 1
+        sl = [slice(None)] * nd
+        sl[v] = slice(1, L0)
+        fac = np_.arange(1, m + 1, dtype=dt).reshape(
+            [1] * v + [m] + [1] * (nd - v - 1)
+        )
+        D = arr[tuple(sl)] * fac
+        degrees[v] = _sat_sub(degrees[v], 1)
+        # truncate every axis to tgt
+        if tgt != INF_DEGREE:
+            t = int(tgt)
+            if any(s > t for s in D.shape):
+                D = D[tuple(slice(0, min(s, t)) for s in D.shape)]
+            degrees = [min(d, t) for d in degrees]
+        L = D.shape[v]
+        if discrete:
+            # multiply by (c + x_v): shift-by-one plus c-scaled copy
+            deg_v = degrees[v]
+            newL = L + 1 if deg_v == INF_DEGREE else min(int(deg_v), L + 1)
+            shape_res = list(D.shape)
+            shape_res[v] = newL
+            res = np_.zeros(shape_res, dtype=dt)
+            sl_dst = [slice(None)] * nd
+            sl_dst[v] = slice(1, newL)
+            sl_src = [slice(None)] * nd
+            sl_src[v] = slice(0, newL - 1)
+            res[tuple(sl_dst)] = D[tuple(sl_src)]
+            sl_head = [slice(None)] * nd
+            sl_head[v] = slice(0, L)
+            res[tuple(sl_head)] += c_f * D
+        else:
+            res = D
+        res = res * (lam_f / float(k))
+        arr = res
+    return TaylorPoly(backend, arr, tuple(degrees))
+
+
 def _eval_taylor_coeff_at_zero(g, v, order, backend, inputs, degree_p1, cache):
     T = backend.scalar_cls
     rec = _recognize_discrete_poisson_observation(g, v)
@@ -891,13 +976,19 @@ def _eval_taylor_coeff_at_zero(g, v, order, backend, inputs, degree_p1, cache):
         new_inputs[param_var] = csub
         gpoly = inner.eval_with(backend, new_inputs, degree_p1 + order, cache)
         inner_const0 = gpoly.const0
-        for k in range(1, order + 1):
-            tgt = degree_p1 + order - k
-            var_poly = TaylorPoly.var(backend, param_var, csub, tgt)
-            gpoly = (
-                gpoly.derivative(param_var, 1).truncate_to_degree_p1(tgt)
-                * var_poly
-            ) * TaylorPoly.from_scalar(backend, lam / T.from_u32(k))
+        fused = _fused_chain_f64(
+            backend, gpoly, param_var, lam, csub, order, degree_p1, True
+        )
+        if fused is not None:
+            gpoly = fused
+        else:
+            for k in range(1, order + 1):
+                tgt = degree_p1 + order - k
+                var_poly = TaylorPoly.var(backend, param_var, csub, tgt)
+                gpoly = (
+                    gpoly.derivative(param_var, 1).truncate_to_degree_p1(tgt)
+                    * var_poly
+                ) * TaylorPoly.from_scalar(backend, lam / T.from_u32(k))
         gpoly = gpoly.truncate_to_degree_p1(degree_p1)
         result = gpoly.subst_var(param_var, sub0)
         if result.const0 is None:
@@ -915,11 +1006,17 @@ def _eval_taylor_coeff_at_zero(g, v, order, backend, inputs, degree_p1, cache):
         new_inputs = list(inputs)
         new_inputs[param_var] = c0
         gpoly = inner.eval_with(backend, new_inputs, degree_p1 + order, cache)
-        for k in range(1, order + 1):
-            tgt = degree_p1 + order - k
-            gpoly = gpoly.derivative(param_var, 1).truncate_to_degree_p1(
-                tgt
-            ) * TaylorPoly.from_scalar(backend, lam / T.from_u32(k))
+        fused = _fused_chain_f64(
+            backend, gpoly, param_var, lam, None, order, degree_p1, False
+        )
+        if fused is not None:
+            gpoly = fused
+        else:
+            for k in range(1, order + 1):
+                tgt = degree_p1 + order - k
+                gpoly = gpoly.derivative(param_var, 1).truncate_to_degree_p1(
+                    tgt
+                ) * TaylorPoly.from_scalar(backend, lam / T.from_u32(k))
         return gpoly.truncate_to_degree_p1(degree_p1)
     rec = _recognize_negative_binomial_observation(g, v)
     if rec is not None:
