@@ -451,12 +451,13 @@ class GenFun:
         raise AssertionError(f"unknown kind {k}")
 
     # -- evaluation (reference: generating_function.rs:179-222, 548-765) -
-    def eval(self, backend, inputs, degree_p1: int) -> TaylorPoly:
-        return self.eval_with(
-            backend, list(inputs), degree_p1, _EvalCache(self, degree_p1)
-        )
+    def eval(self, backend, inputs, degree_p1) -> TaylorPoly:
+        d = Demand.of(degree_p1, len(inputs))
+        return self.eval_with(backend, list(inputs), d, _EvalCache(self, d))
 
     def eval_with(self, backend, inputs, degree_p1, cache) -> TaylorPoly:
+        if not isinstance(degree_p1, Demand):
+            degree_p1 = Demand.of(degree_p1, len(inputs))
         if isinstance(cache, dict):  # plain-dict compatibility (tests)
             c = _EvalCache(self, degree_p1)
             cache = c
@@ -474,12 +475,13 @@ class GenFun:
         target = (
             degree_p1
             if _NO_DEMAND
-            else max(degree_p1, cache.demand(self))
+            else degree_p1.join(cache.demand(self))
         )
         result = self._eval(backend, inputs, target, cache)
         if _CHECK:
             assert all(
-                d == target for d in result.degrees_p1
+                dg == target.axis(i)
+                for i, dg in enumerate(result.degrees_p1)
             ), f"unexpected eval degrees {result.degrees_p1} for target {target}"
         cache.put(self, target, inputs, result)
         # Release children after this node's FIRST completed evaluation:
@@ -492,15 +494,15 @@ class GenFun:
         if cache.first_eval(self):
             for child in self.args:
                 cache.release(child)
-        if target > degree_p1:
-            result = result.truncate_to_degree_p1(degree_p1)
+        if target != degree_p1:
+            result = _trunc_demand(result, degree_p1)
         return result
 
     def _eval(self, backend, inputs, degree_p1, cache) -> TaylorPoly:
         k = self.kind
         T = backend.scalar_cls
         if k == VAR:
-            return TaylorPoly.var(backend, self.var, inputs[self.var], degree_p1)
+            return _tp_var(backend, self.var, inputs[self.var], degree_p1)
         if k == CONST:
             return TaylorPoly.from_scalar(backend, self.value)
         if k == ADD or k == MUL:
@@ -556,15 +558,14 @@ class GenFun:
             taylor = TaylorPoly.new(backend, arr, (INF_DEGREE,) * ndim)
             for v, inp in enumerate(inputs):
                 taylor = taylor.subst_var(
-                    v, TaylorPoly.var(backend, v, inp, degree_p1)
+                    v, _tp_var(backend, v, inp, degree_p1)
                 )
             nd = taylor.num_vars()
             if nd > len(inputs):
                 assert nd == len(inputs) + 1
                 taylor = taylor.remove_last_variable()
-            return taylor.extend_to_dim(len(inputs), degree_p1).truncate_to_degree_p1(
-                degree_p1
-            )
+            taylor = taylor.extend_to_dim(len(inputs), degree_p1.maxv)
+            return _trunc_demand(taylor, degree_p1)
         if k == EXP:
             return self.args[0].eval_with(backend, inputs, degree_p1, cache).exp()
         if k == LOG:
@@ -591,17 +592,20 @@ class GenFun:
         if k == UNIFORM_MGF:
             x = self.args[0].eval_with(backend, inputs, degree_p1, cache)
             c = _const_term_host(x)
+            # series-composition depth: the substituted y spans all of
+            # x's axes, so the expansion must reach the summed demand
+            dmax = degree_p1.comp_depth(self.args[0].used_vars())
             if c.is_zero():
                 # evaluate (e^y - 1)/y as a series in y, then substitute
-                y = TaylorPoly.var_at_zero(backend, 0, degree_p1 + 1)
+                y = TaylorPoly.var_at_zero(backend, 0, dmax + 1)
                 numerator = y.exp() - TaylorPoly.one(backend)
                 arr = backend.slice_axis(
                     numerator.coeffs, 0, 1, backend.shape(numerator.coeffs)[0]
                 )
-                fraction = TaylorPoly.new(backend, arr, (degree_p1,))
-                return fraction.subst_var(0, x)
+                fraction = TaylorPoly.new(backend, arr, (dmax,))
+                return _trunc_demand(fraction.subst_var(0, x), degree_p1)
             numerator = x.exp() - TaylorPoly.one(backend)
-            return (numerator / x).truncate_to_degree_p1(degree_p1)
+            return _trunc_demand(numerator / x, degree_p1)
         if k == SUBST:
             g, replacement = self.args
             v = self.var
@@ -614,7 +618,17 @@ class GenFun:
             else:
                 assert v == len(inputs)
                 new_inputs.append(c)
-            taylor = g.eval_with(backend, new_inputs, degree_p1, cache)
+            # the Horner composition consumes one power of the (zero-
+            # constant-term) replacement per v-degree of g; a replacement
+            # spanning k axes contributes total degree >= j at power j,
+            # so completeness for every retained coefficient needs g's
+            # v-axis evaluated to the summed demand over the
+            # replacement's axes (NOT the max — clinicalTrial2)
+            depth = degree_p1.comp_depth(replacement.used_vars())
+            g_demand = degree_p1.with_axis(
+                v, max(depth, degree_p1.axis(v))
+            )
+            taylor = g.eval_with(backend, new_inputs, g_demand, cache)
             result = taylor.subst_var(v, subst)
             if len(taylor.degrees_p1) > len(inputs):
                 assert len(taylor.degrees_p1) == len(inputs) + 1
@@ -624,13 +638,16 @@ class GenFun:
             # child's
             if result.const0 is None:
                 result.const0 = taylor.const0
-            return result
+            # g was evaluated at the widened axis-v demand; a zero (or
+            # low-degree) substitution keeps that widened degree, so
+            # truncate back to the caller's demand
+            return _trunc_demand(result, degree_p1)
         if k == DERIVATIVE:
             taylor = self.args[0].eval_with(
-                backend, inputs, degree_p1 + self.order, cache
+                backend, inputs, degree_p1.bump(self.var, self.order), cache
             )
-            return taylor.derivative(self.var, self.order).truncate_to_degree_p1(
-                degree_p1
+            return _trunc_demand(
+                taylor.derivative(self.var, self.order), degree_p1
             )
         if k == TAYLOR_POLYNOMIAL:
             v = self.var
@@ -638,29 +655,31 @@ class GenFun:
             new_inputs[v] = T.zero()
             max_order = max(self.orders) if self.orders else 0
             taylor = self.args[0].eval_with(
-                backend, new_inputs, degree_p1 + max_order, cache
+                backend, new_inputs, degree_p1.bump(v, max_order), cache
             )
             result = taylor.taylor_polynomial_terms(v, self.orders)
             result = result.subst_var(
-                v, TaylorPoly.var(backend, v, inputs[v], degree_p1)
+                v, _tp_var(backend, v, inputs[v], degree_p1)
             )
-            return result.truncate_to_degree_p1(degree_p1)
+            return _trunc_demand(result, degree_p1)
         if k == TAYLOR_COEFF_AT_ZERO:
             return _eval_taylor_coeff_at_zero(
                 self.args[0], self.var, self.order, backend, inputs, degree_p1, cache
             )
         if k == TAYLOR_COEFF:
             taylor = self.args[0].eval_with(
-                backend, inputs, degree_p1 + self.order, cache
+                backend, inputs, degree_p1.bump(self.var, self.order), cache
             )
             result = taylor.taylor_expansion_of_coeff(self.var, self.order)
-            return result.truncate_to_degree_p1(degree_p1)
+            return _trunc_demand(result, degree_p1)
         if k == SHIFT_TAYLOR_AT_ZERO:
             g = self.args[0]
             v, order = self.var, self.order
             if inputs[v].is_zero():
-                taylor = g.eval_with(backend, inputs, degree_p1 + order, cache)
-                return taylor.shift_down(v, order).truncate_to_degree_p1(degree_p1)
+                taylor = g.eval_with(
+                    backend, inputs, degree_p1.bump(v, order), cache
+                )
+                return _trunc_demand(taylor.shift_down(v, order), degree_p1)
             first_terms = g.taylor_polynomial_at_zero(v, list(range(order)))
             additional_mass = first_terms.substitute_var(v, GenFun.one(T))
             h = (g - first_terms) / GenFun.var_(v).pow(order) + additional_mass
@@ -708,17 +727,200 @@ def _inputs_key(inputs):
     return tuple(inputs)
 
 
-def _degree_bump(node) -> int:
-    """How much a node inflates the degree it demands of its children
-    (mirrors the degree arithmetic in GenFun._eval and the observation
-    optimizers in _eval_taylor_coeff_at_zero)."""
+class Demand:
+    """Per-axis degree_p1 demand vector + the reference's uniform degree.
+
+    The reference evaluates with a single uniform truncation degree
+    (generating_function.rs:179-222): every derivative-style node bumps
+    the demand of *all* variables, so an observation chain on one
+    variable inflates the coefficient grids of every other variable as
+    well.  Power-series ops are graded per axis, so low-order
+    coefficients along one axis never depend on higher-order
+    coefficients along another: demands can be tracked per variable.
+    For multivariate observation-chain models this shrinks the grids
+    from (base + total_inflation)^n to prod_v (base_v + inflation_v).
+
+    ``uni`` is the uniform degree the reference would be evaluating
+    this node at (root degree + every bump so far; Subst does not
+    bump).  Series compositions (Subst, UniformMgf) are the one place
+    per-axis grading fails: their depth is capped at ``min(uni,
+    span)`` — ``uni`` reproduces the reference's truncation exactly,
+    and depths beyond ``span`` contribute provably-zero terms to every
+    retained coefficient (so the min never changes values, it only
+    avoids needless work).
+
+    Axes beyond the explicit length default to 1 (point value only) —
+    used for aux variables appended during TaylorCoeffAtZero.
+    """
+
+    __slots__ = ("axes", "uni")
+
+    def __init__(self, axes, uni=None):
+        self.axes = tuple(axes)
+        if uni is None:
+            uni = max(self.axes) if self.axes else 1
+        self.uni = uni
+
+    def __len__(self):
+        return len(self.axes)
+
+    def __iter__(self):
+        return iter(self.axes)
+
+    def __getitem__(self, i):
+        return self.axes[i]
+
+    def __eq__(self, other):
+        if isinstance(other, Demand):
+            return self.axes == other.axes and self.uni == other.uni
+        return NotImplemented
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else not eq
+
+    def __hash__(self):
+        return hash((self.axes, self.uni))
+
+    def __repr__(self):
+        return f"Demand({self.axes}, uni={self.uni})"
+
+    def axis(self, v):
+        return self.axes[v] if v < len(self.axes) else 1
+
+    @property
+    def maxv(self):
+        return max(self.axes) if self.axes else 1
+
+    def bump(self, v, o):
+        if o == 0:
+            return self
+        a = self.axes
+        if v < len(a):
+            na = tuple(x + o if i == v else x for i, x in enumerate(a))
+        else:
+            na = a + (1,) * (v - len(a)) + (1 + o,)
+        return Demand(na, self.uni + o)
+
+    def span(self, n_axes: int):
+        """1 + sum of (axis demand - 1) over the first ``n_axes`` axes:
+        an upper bound on the total retained degree, hence on the
+        series-composition depth that can contribute to any retained
+        coefficient."""
+        t = 1
+        for i in range(n_axes):
+            x = self.axis(i)
+            if x == INF_DEGREE:
+                return INF_DEGREE
+            t += x - 1
+        return t
+
+    def comp_depth(self, n_axes: int):
+        """Series-composition depth for a replacement spanning the
+        first ``n_axes`` axes: the reference's uniform degree, capped
+        at the span beyond which terms vanish from every retained
+        coefficient.  (Capping at span alone compounds through nested
+        Substs — alarm regression; widening only to maxv loses
+        observation-derivative mass — clinicalTrial2 regression.)"""
+        return min(self.uni, self.span(n_axes))
+
+    def with_axis(self, v, value):
+        a = self.axes
+        if v < len(a):
+            if a[v] == value:
+                return self
+            na = tuple(value if i == v else x for i, x in enumerate(a))
+        else:
+            na = a + (1,) * (v - len(a)) + (value,)
+        return Demand(na, self.uni)
+
+    def join(self, other):
+        if self == other:
+            return self
+        n = max(len(self), len(other))
+        return Demand(
+            (max(self.axis(i), other.axis(i)) for i in range(n)),
+            max(self.uni, other.uni),
+        )
+
+    def covers(self, other) -> bool:
+        n = max(len(self), len(other))
+        return self.uni >= other.uni and all(
+            self.axis(i) >= other.axis(i) for i in range(n)
+        )
+
+    @staticmethod
+    def of(degree_p1, n_vars: int) -> "Demand":
+        if isinstance(degree_p1, Demand):
+            return degree_p1
+        return Demand((degree_p1,) * max(n_vars, 1), degree_p1)
+
+
+_EMPTY_DEMAND = Demand(())
+
+
+def _trunc_demand(poly: TaylorPoly, d: Demand) -> TaylorPoly:
+    degs = [d.axis(i) for i in range(len(poly.degrees_p1))]
+    return poly._truncate_degrees_p1(degs)
+
+
+def _tp_var(backend, v: int, x, d: Demand) -> TaylorPoly:
+    """TaylorPoly.var with per-axis degree metadata from the demand."""
+    p = TaylorPoly.var(backend, v, x, d.axis(v))
+    degs = tuple(d.axis(i) for i in range(v + 1))
+    if degs != p.degrees_p1:
+        p = p._with_degrees(degs)
+    return p
+
+
+def _tp_var_at_zero(backend, v: int, d: Demand) -> TaylorPoly:
+    p = TaylorPoly.var_at_zero(backend, v, d.axis(v))
+    degs = tuple(d.axis(i) for i in range(v + 1))
+    if degs != p.degrees_p1:
+        p = p._with_degrees(degs)
+    return p
+
+
+def _recognize_observation(g, aux_var):
+    """Any of the three observation-optimizer recognizers
+    (reference generating_function.rs:840-914)."""
+    return (
+        _recognize_discrete_poisson_observation(g, aux_var)
+        or _recognize_continuous_poisson_observation(g, aux_var)
+        or _recognize_negative_binomial_observation(g, aux_var)
+    )
+
+
+def _child_demands(node, d: Demand, bypass_subst) -> list:
+    """Static per-child demand vectors (upper bounds used as eval
+    targets; mirrors the degree arithmetic in GenFun._eval and the
+    observation optimizers in _eval_taylor_coeff_at_zero)."""
     k = node.kind
-    if k in (DERIVATIVE, TAYLOR_COEFF, TAYLOR_COEFF_AT_ZERO,
-             SHIFT_TAYLOR_AT_ZERO):
-        return node.order
+    if k in (DERIVATIVE, TAYLOR_COEFF, SHIFT_TAYLOR_AT_ZERO):
+        return [d.bump(node.var, node.order)]
     if k == TAYLOR_POLYNOMIAL:
-        return max(node.orders) if node.orders else 0
-    return 0
+        mo = max(node.orders) if node.orders else 0
+        return [d.bump(node.var, mo)]
+    if k == TAYLOR_COEFF_AT_ZERO:
+        g = node.args[0]
+        rec = _recognize_observation(g, node.var)
+        if rec is not None:
+            # the optimizer evaluates g's inner child directly at the
+            # param-var-bumped demand; g itself (a Subst) is never
+            # evaluated — tag it so the Subst rule below passes the
+            # demand through unchanged instead of widening axis v
+            bypass_subst[id(g)] = g
+            return [d.bump(rec[0], node.order)]
+        return [d.bump(node.var, node.order)]
+    if k == SUBST:
+        bp = bypass_subst.get(id(node))
+        if bp is not None and bp is node:
+            return [d, d]
+        # mirror GenFun._eval's SUBST rule: composition depth = summed
+        # demand over the replacement's axes
+        depth = d.comp_depth(node.args[1].used_vars())
+        return [d.with_axis(node.var, max(depth, d.axis(node.var))), d]
+    return [d] * len(node.args)
 
 
 class _EvalCache:
@@ -752,8 +954,10 @@ class _EvalCache:
 
     __slots__ = ("entries", "uses", "evaled", "demands")
 
-    def __init__(self, root, degree_p1: int):
-        self.entries = {}  # id -> (node, {inputs_key: (degree, result)})
+    def __init__(self, root, degree_p1):
+        if not isinstance(degree_p1, Demand):
+            degree_p1 = Demand((degree_p1,))
+        self.entries = {}  # id -> (node, {inputs_key: (demand, result)})
         self.evaled = {}  # id -> node: nodes whose _eval completed once
         uses = {}  # id -> [node, remaining static parent count]
         stack = [root]
@@ -774,38 +978,39 @@ class _EvalCache:
         # static parent counts)
         demands = {id(root): [root, degree_p1]}
         indeg = {nid: e[1] for nid, e in uses.items()}
+        bypass_subst = {}
         queue = [root]
         while queue:
             n = queue.pop()
             d = demands[id(n)][1]
-            bump = _degree_bump(n)
-            for c in n.args:
+            child_ds = _child_demands(n, d, bypass_subst)
+            for c, cdnew in zip(n.args, child_ds):
                 cd = demands.get(id(c))
                 if cd is not None and cd[0] is c:
-                    cd[1] = max(cd[1], d + bump)
+                    cd[1] = cd[1].join(cdnew)
                 else:
-                    demands[id(c)] = [c, d + bump]
+                    demands[id(c)] = [c, cdnew]
                 indeg[id(c)] -= 1
                 if indeg[id(c)] == 0:
                     queue.append(c)
         self.demands = demands
 
-    def demand(self, node) -> int:
+    def demand(self, node) -> Demand:
         d = self.demands.get(id(node))
         if d is not None and d[0] is node:
             return d[1]
-        return 0  # dynamic node: no static demand
+        return _EMPTY_DEMAND  # dynamic node: no static demand
 
     def get(self, node, degree_p1, inputs):
         per = self.entries.get(id(node))
         if per is None or per[0] is not node:
             return None
         rec = per[1].get(_inputs_key(inputs))
-        if rec is None or rec[0] < degree_p1:
+        if rec is None or not rec[0].covers(degree_p1):
             return None
         if rec[0] == degree_p1:
             return rec[1]
-        return rec[1].truncate_to_degree_p1(degree_p1)
+        return _trunc_demand(rec[1], degree_p1)
 
     def put(self, node, degree_p1, inputs, result):
         per = self.entries.get(id(node))
@@ -814,7 +1019,7 @@ class _EvalCache:
             self.entries[id(node)] = per
         ik = _inputs_key(inputs)
         rec = per[1].get(ik)
-        if rec is None or rec[0] < degree_p1:
+        if rec is None or degree_p1.covers(rec[0]):
             per[1][ik] = (degree_p1, result)
 
     def sole_consumer(self, node) -> bool:
@@ -863,6 +1068,66 @@ def _const_term_host(poly: TaylorPoly):
 # ----------------------------------------------------------------------
 
 
+def _obs_chain_native(backend, arr, v, lam_f, c_f, order, dv0, discrete,
+                      degrees):
+    """Run the whole derivative chain in the C extension: one
+    cache-resident double-buffered pass per row instead of ~5 numpy
+    array passes (+ allocations) per step.  Mutates ``degrees`` to the
+    final per-axis bounds on success; returns None (``degrees``
+    untouched) when the native kernel is unavailable or a mid-chain
+    shape case requires the generic fallback."""
+    from ..taylor.backend import _SERIESOPS
+    from ..taylor.tensorpoly import _sat_sub
+
+    if _SERIESOPS is None or not hasattr(_SERIESOPS, "obs_chain"):
+        return None
+    np_ = backend.jnp
+    # precompute the per-step derivative/result lengths (must mirror the
+    # numpy loop below exactly)
+    cur = arr.shape[v]
+    degv = degrees[v]
+    Ls, newLs = [], []
+    for k in range(1, order + 1):
+        if cur <= 1:
+            return None  # chain exhausts the array: generic path handles
+        m = cur - 1
+        tgt = dv0 + order - k
+        L = m if tgt == INF_DEGREE else min(m, int(tgt))
+        degv = _sat_sub(degv, 1)
+        if tgt != INF_DEGREE:
+            degv = min(degv, int(tgt))
+        if discrete:
+            newL = L + 1 if degv == INF_DEGREE else min(int(degv), L + 1)
+            if newL < L:
+                return None  # numpy path would not broadcast either
+        else:
+            newL = L
+        Ls.append(L)
+        newLs.append(newL)
+        cur = newL
+    if cur < 1:
+        return None
+    nd = arr.ndim
+    L0 = arr.shape[v]
+    if v == nd - 1:
+        buf = np_.ascontiguousarray(arr).copy() if not arr.flags[
+            "C_CONTIGUOUS"] else arr.copy()
+    else:
+        buf = np_.ascontiguousarray(np_.moveaxis(arr, v, -1))
+    outer = buf.size // L0 if L0 else 0
+    _SERIESOPS.obs_chain(
+        buf.reshape(-1), outer, L0, lam_f, c_f, bool(discrete),
+        tuple(Ls), tuple(newLs),
+    )
+    out = buf[..., :cur]
+    if v != nd - 1:
+        out = np_.ascontiguousarray(np_.moveaxis(out, -1, v))
+    else:
+        out = np_.ascontiguousarray(out)
+    degrees[v] = degv
+    return TaylorPoly(backend, out, tuple(degrees))
+
+
 def _fused_chain_f64(backend, gpoly, v, lam, csub, order, degree_p1,
                      discrete):
     """Run the compound-Poisson derivative chain as raw-array stencils.
@@ -901,6 +1166,12 @@ def _fused_chain_f64(backend, gpoly, v, lam, csub, order, degree_p1,
     lam_f = lam.v
     c_f = csub.v if discrete else 0.0
     degrees = list(gpoly.degrees_p1)
+    dv0 = degree_p1.axis(v)
+    native = _obs_chain_native(
+        backend, arr, v, lam_f, c_f, order, dv0, discrete, degrees
+    )
+    if native is not None:
+        return native
     for k in range(1, order + 1):
         L0 = arr.shape[v]
         if L0 <= 1:
@@ -908,7 +1179,9 @@ def _fused_chain_f64(backend, gpoly, v, lam, csub, order, degree_p1,
             # with 1-sized axes, matching TaylorPoly.derivative's zero
             # case; the generic ops handle this without array work.
             return None
-        tgt = degree_p1 + order - k
+        # only axis v shrinks: the other axes already sit at their own
+        # demand (inner was evaluated at the param-var-bumped demand)
+        tgt = dv0 + order - k
         # derivative along v (keeps the k! factor): D[i] = (i+1)*G[i+1]
         m = L0 - 1
         sl = [slice(None)] * nd
@@ -918,12 +1191,13 @@ def _fused_chain_f64(backend, gpoly, v, lam, csub, order, degree_p1,
         )
         D = arr[tuple(sl)] * fac
         degrees[v] = _sat_sub(degrees[v], 1)
-        # truncate every axis to tgt
         if tgt != INF_DEGREE:
             t = int(tgt)
-            if any(s > t for s in D.shape):
-                D = D[tuple(slice(0, min(s, t)) for s in D.shape)]
-            degrees = [min(d, t) for d in degrees]
+            if D.shape[v] > t:
+                sl_t = [slice(None)] * nd
+                sl_t[v] = slice(0, t)
+                D = D[tuple(sl_t)]
+            degrees[v] = min(degrees[v], t)
         L = D.shape[v]
         if discrete:
             # multiply by (c + x_v): shift-by-one plus c-scaled copy
@@ -967,14 +1241,16 @@ def _eval_taylor_coeff_at_zero(g, v, order, backend, inputs, degree_p1, cache):
         a = (-lam).exp()
         # the substitution's Taylor series around the current input:
         # a·(x0 + dy) — its constant term becomes the new input point
-        sub = TaylorPoly.from_scalar(backend, a) * TaylorPoly.var(
+        sub = TaylorPoly.from_scalar(backend, a) * _tp_var(
             backend, param_var, inputs[param_var], degree_p1
         )
         csub = _const_term_host(sub)
         sub0 = sub - TaylorPoly.from_scalar(backend, csub)
         new_inputs = list(inputs)
         new_inputs[param_var] = csub
-        gpoly = inner.eval_with(backend, new_inputs, degree_p1 + order, cache)
+        gpoly = inner.eval_with(
+            backend, new_inputs, degree_p1.bump(param_var, order), cache
+        )
         inner_const0 = gpoly.const0
         fused = _fused_chain_f64(
             backend, gpoly, param_var, lam, csub, order, degree_p1, True
@@ -983,17 +1259,18 @@ def _eval_taylor_coeff_at_zero(g, v, order, backend, inputs, degree_p1, cache):
             gpoly = fused
         else:
             for k in range(1, order + 1):
-                tgt = degree_p1 + order - k
-                var_poly = TaylorPoly.var(backend, param_var, csub, tgt)
+                tgt = degree_p1.axis(param_var) + order - k
+                step_d = degree_p1.with_axis(param_var, tgt)
+                var_poly = _tp_var(backend, param_var, csub, step_d)
                 gpoly = (
-                    gpoly.derivative(param_var, 1).truncate_to_degree_p1(tgt)
+                    _trunc_demand(gpoly.derivative(param_var, 1), step_d)
                     * var_poly
                 ) * TaylorPoly.from_scalar(backend, lam / T.from_u32(k))
-        gpoly = gpoly.truncate_to_degree_p1(degree_p1)
+        gpoly = _trunc_demand(gpoly, degree_p1)
         result = gpoly.subst_var(param_var, sub0)
         if result.const0 is None:
             result.const0 = gpoly.const0 if order > 0 else inner_const0
-        return result.truncate_to_degree_p1(degree_p1)
+        return _trunc_demand(result, degree_p1)
     rec = _recognize_continuous_poisson_observation(g, v)
     if rec is not None:
         # compound Poisson (continuous parameter): D(G) = λ·G'(y), then
@@ -1005,7 +1282,9 @@ def _eval_taylor_coeff_at_zero(g, v, order, backend, inputs, degree_p1, cache):
         c0 = inputs[param_var] + (-lam)
         new_inputs = list(inputs)
         new_inputs[param_var] = c0
-        gpoly = inner.eval_with(backend, new_inputs, degree_p1 + order, cache)
+        gpoly = inner.eval_with(
+            backend, new_inputs, degree_p1.bump(param_var, order), cache
+        )
         fused = _fused_chain_f64(
             backend, gpoly, param_var, lam, None, order, degree_p1, False
         )
@@ -1013,11 +1292,12 @@ def _eval_taylor_coeff_at_zero(g, v, order, backend, inputs, degree_p1, cache):
             gpoly = fused
         else:
             for k in range(1, order + 1):
-                tgt = degree_p1 + order - k
-                gpoly = gpoly.derivative(param_var, 1).truncate_to_degree_p1(
-                    tgt
+                tgt = degree_p1.axis(param_var) + order - k
+                step_d = degree_p1.with_axis(param_var, tgt)
+                gpoly = _trunc_demand(
+                    gpoly.derivative(param_var, 1), step_d
                 ) * TaylorPoly.from_scalar(backend, lam / T.from_u32(k))
-        return gpoly.truncate_to_degree_p1(degree_p1)
+        return _trunc_demand(gpoly, degree_p1)
     rec = _recognize_negative_binomial_observation(g, v)
     if rec is not None:
         # NegBinomial via Lah-number recurrence (reference: 712-751)
@@ -1036,15 +1316,19 @@ def _eval_taylor_coeff_at_zero(g, v, order, backend, inputs, degree_p1, cache):
                 )
                 nxt.append(lah_d_i)
             lahs = nxt
-        total = TaylorPoly.zero_with(backend, (degree_p1,) * len(inputs))
+        total = TaylorPoly.zero_with(
+            backend, tuple(degree_p1.axis(i) for i in range(len(inputs)))
+        )
         new_inputs = list(inputs)
         new_inputs[param_var] = p * inputs[param_var]
-        inner_result = inner.eval_with(backend, new_inputs, degree_p1 + order, cache)
+        inner_result = inner.eval_with(
+            backend, new_inputs, degree_p1.bump(param_var, order), cache
+        )
         p_var_power = TaylorPoly.one(backend)
-        param_var_tp = TaylorPoly.var(backend, param_var, inputs[param_var], degree_p1)
+        param_var_tp = _tp_var(backend, param_var, inputs[param_var], degree_p1)
         p_param_var = TaylorPoly.from_scalar(backend, p) * param_var_tp
         for lah in lahs:
-            subst = TaylorPoly.from_scalar(backend, p) * TaylorPoly.var_at_zero(
+            subst = TaylorPoly.from_scalar(backend, p) * _tp_var_at_zero(
                 backend, param_var, degree_p1
             )
             total = total + (
@@ -1054,19 +1338,23 @@ def _eval_taylor_coeff_at_zero(g, v, order, backend, inputs, degree_p1, cache):
             )
             p_var_power = p_var_power * p_param_var
             inner_result = inner_result.derivative(param_var, 1)
-        return total.truncate_to_degree_p1(degree_p1)
+        return _trunc_demand(total, degree_p1)
     # general case (reference: 752-765)
     T = backend.scalar_cls
     new_inputs = list(inputs)
     if v == len(inputs):
         new_inputs.append(T.zero())
-        taylor = g.eval_with(backend, new_inputs, degree_p1 + order, cache)
+        taylor = g.eval_with(
+            backend, new_inputs, degree_p1.bump(v, order), cache
+        )
         result = taylor.coefficients_of_term(v, order).remove_last_variable()
     else:
         new_inputs[v] = T.zero()
-        taylor = g.eval_with(backend, new_inputs, degree_p1 + order, cache)
+        taylor = g.eval_with(
+            backend, new_inputs, degree_p1.bump(v, order), cache
+        )
         result = taylor.coefficients_of_term(v, order)
-    return result.truncate_to_degree_p1(degree_p1)
+    return _trunc_demand(result, degree_p1)
 
 
 # pattern recognizers (reference: generating_function.rs:840-914)

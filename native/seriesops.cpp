@@ -399,9 +399,98 @@ PyObject* py_subst_horner(PyObject*, PyObject* args) {
     Py_RETURN_NONE;
 }
 
+// The chain arithmetic must match numpy's separate mul-then-add rounding
+// bit-for-bit, so FMA contraction is disabled for this loop only (the
+// conv/Horner kernels keep the default flags).
+__attribute__((optimize("fp-contract=off"))) void chain_rows(
+    double* data, Py_ssize_t outer, Py_ssize_t L0, double lam, double c,
+    int discrete, const int64_t* Ls, const int64_t* newLs, size_t steps) {
+    std::vector<double> bufa((size_t)L0), bufb((size_t)L0);
+    double* cur = bufa.data();
+    double* nxt = bufb.data();
+    for (Py_ssize_t r = 0; r < outer; r++) {
+        double* row = data + r * L0;
+        std::memcpy(cur, row, (size_t)L0 * sizeof(double));
+        for (size_t k = 0; k < steps; k++) {
+            const double s = lam / (double)(k + 1);
+            const int64_t L = Ls[k];
+            const int64_t newL = newLs[k];
+            if (discrete) {
+                if (newL > 0)
+                    nxt[0] = (L > 0 ? 0.0 + c * (cur[1] * 1.0) : 0.0) * s;
+                for (int64_t i = 1; i < newL; i++) {
+                    double t = cur[i] * (double)i;  // D[i-1]
+                    if (i < L) t += c * (cur[i + 1] * (double)(i + 1));
+                    nxt[i] = t * s;
+                }
+            } else {
+                for (int64_t i = 0; i < newL; i++)
+                    nxt[i] = (cur[i + 1] * (double)(i + 1)) * s;
+            }
+            std::swap(cur, nxt);
+        }
+        const int64_t fin = steps ? newLs[steps - 1] : L0;
+        std::memcpy(row, cur, (size_t)fin * sizeof(double));
+    }
+}
+
+// Fused compound-Poisson observation chain (reference:
+// src/generating_function.rs:684-694 — the per-step 1/k! folding).
+//
+// buf is a writable (outer, L0) C-contiguous f64 matrix whose rows are the
+// coefficients along the chained variable's axis.  For each row the whole
+// `steps`-deep derivative chain runs in cache with double-buffered rows:
+//
+//   discrete:   R[i] = (lam/k) * (c*(i+1)*G[i+1] + i*G[i])
+//   continuous: R[i] = (lam/k) * (i+1)*G[i+1]
+//
+// with per-step result lengths precomputed by the caller (Ls = derivative
+// length after truncation, newLs = result length).  The arithmetic
+// association matches the numpy fused path in gf/ir.py:_fused_chain_f64
+// bit-for-bit on finite inputs.  Results land in the first newLs[last]
+// entries of each row.
+PyObject* py_obs_chain(PyObject*, PyObject* args) {
+    PyObject *buf_obj, *ls_obj, *nls_obj;
+    Py_ssize_t outer, L0;
+    double lam, c;
+    int discrete;
+    if (!PyArg_ParseTuple(args, "OnnddpOO", &buf_obj, &outer, &L0, &lam, &c,
+                          &discrete, &ls_obj, &nls_obj))
+        return nullptr;
+    BufView b;
+    if (!get_f64_buffer(buf_obj, &b, /*writable=*/true)) return nullptr;
+    std::vector<int64_t> Ls, newLs;
+    if (!parse_shape(ls_obj, &Ls) || !parse_shape(nls_obj, &newLs))
+        return nullptr;
+    if (Ls.size() != newLs.size()) {
+        PyErr_SetString(PyExc_ValueError, "Ls/newLs length mismatch");
+        return nullptr;
+    }
+    const size_t steps = Ls.size();
+    if (b.len() < outer * L0) {
+        PyErr_SetString(PyExc_ValueError, "buffer too small");
+        return nullptr;
+    }
+    for (size_t k = 0; k < steps; k++) {
+        const int64_t cap = k == 0 ? L0 : newLs[k - 1];
+        if (Ls[k] < 0 || Ls[k] >= cap || newLs[k] < 0 || newLs[k] > L0 ||
+            (discrete ? newLs[k] < Ls[k] : newLs[k] != Ls[k])) {
+            PyErr_SetString(PyExc_ValueError, "inconsistent step lengths");
+            return nullptr;
+        }
+    }
+    Py_BEGIN_ALLOW_THREADS;
+    chain_rows(b.mut_data(), outer, L0, lam, c, discrete, Ls.data(),
+               newLs.data(), steps);
+    Py_END_ALLOW_THREADS;
+    Py_RETURN_NONE;
+}
+
 PyMethodDef methods[] = {
     {"conv_trunc", py_conv_trunc, METH_VARARGS,
      "Truncated n-D Cauchy product (f64, C-contiguous buffers)."},
+    {"obs_chain", py_obs_chain, METH_VARARGS,
+     "Fused compound-Poisson observation derivative chain over rows."},
     {"subst_horner", py_subst_horner, METH_VARARGS,
      "Fused Horner substitution of a small series into one axis."},
     {"div_1d", py_div_1d, METH_VARARGS,

@@ -133,3 +133,42 @@ def test_nonfinite_keeps_python_path(nb):
     got = p.subst_var(0, s)
     want = _horner_ref(p, 0, s)
     assert np.array_equal(np.isnan(got.coeffs), np.isnan(want.coeffs))
+
+
+def test_obs_chain_native_matches_numpy(nb):
+    """The C obs_chain kernel (whole observation derivative chain per
+    cache-resident row) must reproduce the numpy fused stencil in
+    gf/ir.py:_fused_chain_f64 bit for bit (fp-contract is disabled in
+    the C loop for exactly this reason)."""
+    import genfer_tpu.taylor.backend as B
+    from genfer_tpu.gf.ir import Demand, _fused_chain_f64
+    from genfer_tpu.numbers.scalar import F64
+
+    if B._SERIESOPS is None or not hasattr(B._SERIESOPS, "obs_chain"):
+        pytest.skip("native seriesops unavailable")
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        nd = int(rng.integers(1, 4))
+        shape = tuple(int(rng.integers(2, 12)) for _ in range(nd))
+        v = int(rng.integers(0, nd))
+        arr = rng.standard_normal(shape)
+        p = TaylorPoly(nb, arr.copy(), tuple(shape))
+        order = int(rng.integers(1, 7))
+        d = Demand(tuple(int(rng.integers(1, 10)) for _ in range(nd)))
+        lam = F64(float(rng.standard_normal()))
+        c = F64(float(rng.standard_normal()))
+        discrete = bool(rng.integers(0, 2))
+        csub = c if discrete else None
+        r_nat = _fused_chain_f64(nb, p, v, lam, csub, order, d, discrete)
+        saved = B._SERIESOPS
+        B._SERIESOPS = None
+        try:
+            r_np = _fused_chain_f64(nb, p, v, lam, csub, order, d, discrete)
+        finally:
+            B._SERIESOPS = saved
+        assert (r_nat is None) == (r_np is None)
+        if r_nat is None:
+            continue
+        assert r_nat.degrees_p1 == r_np.degrees_p1
+        assert r_nat.coeffs.shape == r_np.coeffs.shape
+        np.testing.assert_array_equal(r_nat.coeffs, r_np.coeffs)
