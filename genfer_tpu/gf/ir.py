@@ -1107,23 +1107,15 @@ def _obs_chain_native(backend, arr, v, lam_f, c_f, order, dv0, discrete,
         cur = newL
     if cur < 1:
         return None
-    nd = arr.ndim
-    L0 = arr.shape[v]
-    if v == nd - 1:
-        buf = np_.ascontiguousarray(arr).copy() if not arr.flags[
-            "C_CONTIGUOUS"] else arr.copy()
-    else:
-        buf = np_.ascontiguousarray(np_.moveaxis(arr, v, -1))
-    outer = buf.size // L0 if L0 else 0
+    if not arr.flags["C_CONTIGUOUS"]:
+        arr = np_.ascontiguousarray(arr)
+    out_shape = list(arr.shape)
+    out_shape[v] = cur
+    out = np_.empty(out_shape, dtype=arr.dtype)
     _SERIESOPS.obs_chain(
-        buf.reshape(-1), outer, L0, lam_f, c_f, bool(discrete),
+        arr, arr.shape, v, out, lam_f, c_f, bool(discrete),
         tuple(Ls), tuple(newLs),
     )
-    out = buf[..., :cur]
-    if v != nd - 1:
-        out = np_.ascontiguousarray(np_.moveaxis(out, -1, v))
-    else:
-        out = np_.ascontiguousarray(out)
     degrees[v] = degv
     return TaylorPoly(backend, out, tuple(degrees))
 

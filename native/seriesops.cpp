@@ -403,14 +403,31 @@ PyObject* py_subst_horner(PyObject*, PyObject* args) {
 // bit-for-bit, so FMA contraction is disabled for this loop only (the
 // conv/Horner kernels keep the default flags).
 __attribute__((optimize("fp-contract=off"))) void chain_rows(
-    double* data, Py_ssize_t outer, Py_ssize_t L0, double lam, double c,
-    int discrete, const int64_t* Ls, const int64_t* newLs, size_t steps) {
+    const double* in, double* out, const std::vector<int64_t>& shape,
+    size_t v, int64_t fin, double lam, double c, int discrete,
+    const int64_t* Ls, const int64_t* newLs, size_t steps) {
+    const size_t nd = shape.size();
+    const int64_t L0 = shape[v];
+    std::vector<int64_t> istr = strides_of(shape);
+    std::vector<int64_t> oshape(shape);
+    oshape[v] = fin;
+    std::vector<int64_t> ostr = strides_of(oshape);
+    const int64_t isv = istr[v], osv = ostr[v];
     std::vector<double> bufa((size_t)L0), bufb((size_t)L0);
     double* cur = bufa.data();
     double* nxt = bufb.data();
-    for (Py_ssize_t r = 0; r < outer; r++) {
-        double* row = data + r * L0;
-        std::memcpy(cur, row, (size_t)L0 * sizeof(double));
+    std::vector<int64_t> idx(nd, 0);
+    int64_t rows = 1;
+    for (size_t d = 0; d < nd; d++)
+        if (d != v) rows *= shape[d];
+    int64_t ioff = 0, ooff = 0;
+    for (int64_t r = 0; r < rows; r++) {
+        const double* irow = in + ioff;
+        if (isv == 1) {
+            std::memcpy(cur, irow, (size_t)L0 * sizeof(double));
+        } else {
+            for (int64_t i = 0; i < L0; i++) cur[i] = irow[i * isv];
+        }
         for (size_t k = 0; k < steps; k++) {
             const double s = lam / (double)(k + 1);
             const int64_t L = Ls[k];
@@ -429,48 +446,66 @@ __attribute__((optimize("fp-contract=off"))) void chain_rows(
             }
             std::swap(cur, nxt);
         }
-        const int64_t fin = steps ? newLs[steps - 1] : L0;
-        std::memcpy(row, cur, (size_t)fin * sizeof(double));
+        double* orow = out + ooff;
+        if (osv == 1) {
+            std::memcpy(orow, cur, (size_t)fin * sizeof(double));
+        } else {
+            for (int64_t i = 0; i < fin; i++) orow[i * osv] = cur[i];
+        }
+        // advance the odometer over the non-v axes (last axis fastest)
+        for (Py_ssize_t d = (Py_ssize_t)nd - 1; d >= 0; d--) {
+            if ((size_t)d == v) continue;
+            ioff += istr[d];
+            ooff += ostr[d];
+            if (++idx[d] < shape[d]) break;
+            idx[d] = 0;
+            ioff -= istr[d] * shape[d];
+            ooff -= ostr[d] * shape[d];
+        }
     }
 }
 
 // Fused compound-Poisson observation chain (reference:
-// src/generating_function.rs:684-694 — the per-step 1/k! folding).
+// src/generating_function.rs:684-694 -- the per-step 1/k! folding).
 //
-// buf is a writable (outer, L0) C-contiguous f64 matrix whose rows are the
-// coefficients along the chained variable's axis.  For each row the whole
-// `steps`-deep derivative chain runs in cache with double-buffered rows:
+// in is a C-contiguous f64 tensor of the given shape; for every 1-D lane
+// along axis v the whole `steps`-deep derivative chain runs in cache with
+// double-buffered rows:
 //
 //   discrete:   R[i] = (lam/k) * (c*(i+1)*G[i+1] + i*G[i])
 //   continuous: R[i] = (lam/k) * (i+1)*G[i+1]
 //
 // with per-step result lengths precomputed by the caller (Ls = derivative
-// length after truncation, newLs = result length).  The arithmetic
+// length after truncation, newLs = result length).  Results are written to
+// the C-contiguous out tensor whose axis v has length newLs[last]; no
+// transpose/copy passes are needed for any axis position.  The arithmetic
 // association matches the numpy fused path in gf/ir.py:_fused_chain_f64
-// bit-for-bit on finite inputs.  Results land in the first newLs[last]
-// entries of each row.
+// bit-for-bit on finite inputs.
 PyObject* py_obs_chain(PyObject*, PyObject* args) {
-    PyObject *buf_obj, *ls_obj, *nls_obj;
-    Py_ssize_t outer, L0;
+    PyObject *in_obj, *shape_obj, *out_obj, *ls_obj, *nls_obj;
+    Py_ssize_t v;
     double lam, c;
     int discrete;
-    if (!PyArg_ParseTuple(args, "OnnddpOO", &buf_obj, &outer, &L0, &lam, &c,
-                          &discrete, &ls_obj, &nls_obj))
+    if (!PyArg_ParseTuple(args, "OOnOddpOO", &in_obj, &shape_obj, &v,
+                          &out_obj, &lam, &c, &discrete, &ls_obj, &nls_obj))
         return nullptr;
-    BufView b;
-    if (!get_f64_buffer(buf_obj, &b, /*writable=*/true)) return nullptr;
-    std::vector<int64_t> Ls, newLs;
-    if (!parse_shape(ls_obj, &Ls) || !parse_shape(nls_obj, &newLs))
+    BufView bin, bout;
+    if (!get_f64_buffer(in_obj, &bin)) return nullptr;
+    if (!get_f64_buffer(out_obj, &bout, /*writable=*/true)) return nullptr;
+    std::vector<int64_t> shape, Ls, newLs;
+    if (!parse_shape(shape_obj, &shape) || !parse_shape(ls_obj, &Ls) ||
+        !parse_shape(nls_obj, &newLs))
         return nullptr;
-    if (Ls.size() != newLs.size()) {
-        PyErr_SetString(PyExc_ValueError, "Ls/newLs length mismatch");
+    if (Ls.size() != newLs.size() || Ls.empty()) {
+        PyErr_SetString(PyExc_ValueError, "Ls/newLs length mismatch/empty");
+        return nullptr;
+    }
+    if (v < 0 || (size_t)v >= shape.size()) {
+        PyErr_SetString(PyExc_ValueError, "axis out of range");
         return nullptr;
     }
     const size_t steps = Ls.size();
-    if (b.len() < outer * L0) {
-        PyErr_SetString(PyExc_ValueError, "buffer too small");
-        return nullptr;
-    }
+    const int64_t L0 = shape[v];
     for (size_t k = 0; k < steps; k++) {
         const int64_t cap = k == 0 ? L0 : newLs[k - 1];
         if (Ls[k] < 0 || Ls[k] >= cap || newLs[k] < 0 || newLs[k] > L0 ||
@@ -479,9 +514,20 @@ PyObject* py_obs_chain(PyObject*, PyObject* args) {
             return nullptr;
         }
     }
+    const int64_t fin = newLs[steps - 1];
+    if (bin.len() < numel(shape)) {
+        PyErr_SetString(PyExc_ValueError, "input buffer too small");
+        return nullptr;
+    }
+    std::vector<int64_t> oshape(shape);
+    oshape[(size_t)v] = fin;
+    if (bout.len() < numel(oshape)) {
+        PyErr_SetString(PyExc_ValueError, "output buffer too small");
+        return nullptr;
+    }
     Py_BEGIN_ALLOW_THREADS;
-    chain_rows(b.mut_data(), outer, L0, lam, c, discrete, Ls.data(),
-               newLs.data(), steps);
+    chain_rows(bin.data(), bout.mut_data(), shape, (size_t)v, fin, lam, c,
+               discrete, Ls.data(), newLs.data(), steps);
     Py_END_ALLOW_THREADS;
     Py_RETURN_NONE;
 }
