@@ -1011,6 +1011,416 @@ def _collect_ratio_params(dist) -> list:
 # whole-program compilation
 # ----------------------------------------------------------------------
 
+# ----------------------------------------------------------------------
+# telescoping if-cascade compilation (switchpoint family)
+# ----------------------------------------------------------------------
+#
+# The generated switchpoint programs (reference src/bin/
+# generate_switchpoint.rs; benchmarks/neurips2023/approx/switchpoint,
+# test/expect/real_world/switchpoint, cont_switchpoint) are a nested
+# if-cascade
+#
+#     v ~ Prior;
+#     if 1 ~ Bernoulli(p_0)      { pivot; U_1 .. U_n;  sp := k_0 }
+#     else if 1 ~ Bernoulli(p_1) { U_1; pivot; U_2 .. U_n; sp := k_1 }
+#     ...
+#
+# where branch s runs the first s observation units at the outer prior
+# draw, freshly resamples the observed variable (the pivot), runs the
+# remaining units, and records the switch position.  The generic GF
+# interpreter pays O(n^2 * order) for this; because every unit is a
+# DIAGONAL reweighting of the prior grid and the pivot makes the suffix
+# independent of the prefix, the whole cascade factorizes into one
+# forward and one backward cumulative scan over the unit likelihood
+# rows:
+#
+#     weight(s) = q_s * [ sum_x w0(x) prod_{i<=s} row_i(x) ]
+#                     * [ sum_x h0(x) prod_{i>s}  row_i(x) ]
+#
+# (w0 = outer prior mass row, h0 = pivot prior row, q_s = the Bernoulli
+# chain's branch probability) — O(n * grid) on device, with the rows
+# host-precomputed in real f64 (TPU numeric policy: no device
+# transcendentals) and power-of-two rescaling in the scan carries.
+#
+# Continuous priors (Exponential/Gamma/UniformCont) use a composite
+# Gauss-Legendre quadrature grid on geometric panels, so the same mass
+# semantics covers the continuous-latent switchpoint models; validation
+# doubles both the node count and (for half-infinite domains) the
+# domain bound.
+
+
+@dataclass
+class CascadeForm:
+    prologue: tuple      # Sample statements before the cascade
+    qs: list             # exact branch probabilities (Fractions)
+    units: list          # unit observe statements U_1..U_n (instances)
+    pivot: tuple         # pivot Sample statements (same in every branch)
+    assign_var: int
+    assign_vals: list    # branch value of assign_var
+    prefix_lens: list    # per-branch prefix unit count P_k
+    n_units: int
+
+
+def _branch_weight(cond) -> Optional[Fraction]:
+    """P(observe-cond) for the cascade's `1 ~ Bernoulli(p)` guards."""
+    if not isinstance(cond, ast.DataFromDist):
+        return None
+    if not isinstance(cond.dist, ast.Bernoulli):
+        return None
+    if isinstance(cond.data, Slot) or isinstance(
+        cond.dist.p, ast.ParamRatio
+    ):
+        return None
+    p = Fraction(cond.dist.p.numer, cond.dist.p.denom)
+    d = int(cond.data)
+    if d == 1:
+        return p
+    if d == 0:
+        return 1 - p
+    return None
+
+
+def detect_cascade(stmts) -> Optional[CascadeForm]:
+    """Recognize the telescoping if-cascade form.  Returns None when the
+    program is not in the family (callers fall back)."""
+    # locate the cascade root: the single non-observe IfThenElse
+    root_idx = None
+    for i, st in enumerate(stmts):
+        if isinstance(st, ast.IfThenElse) and st.recognize_observe() is None:
+            root_idx = i
+            break
+    if root_idx is None or root_idx != len(stmts) - 1:
+        return None
+    prologue = tuple(stmts[:root_idx])
+    if not all(isinstance(s, ast.Sample) and not s.add_previous_value
+               for s in prologue):
+        return None
+    # unfold else-if chain
+    branches = []  # (weight Fraction, body tuple)
+    cur = stmts[root_idx]
+    while True:
+        w = _branch_weight(cur.cond)
+        if w is None:
+            return None
+        branches.append((w, tuple(cur.then)))
+        els = cur.els
+        if len(els) == 1 and isinstance(els[0], ast.IfThenElse) and \
+                els[0].recognize_observe() is None:
+            cur = els[0]
+            continue
+        if len(els) != 0:
+            return None
+        break
+    n_br = len(branches)
+    if n_br < 3:
+        return None
+    # exact branch probabilities; the empty final else must be dead
+    qs, rest = [], Fraction(1)
+    for w, _ in branches:
+        qs.append(rest * w)
+        rest *= 1 - w
+    if rest != 0:
+        return None
+    # each body: a trailing `sp := k` (same var across branches), before
+    # it P_k prefix observes, a shared pivot block, suffix observes
+    def is_unit(st):
+        return (isinstance(st, ast.IfThenElse)
+                and st.recognize_observe() is not None)
+
+    def key(st):
+        ls: list = []
+        return (_sig_lits(st, ls), tuple(ls))
+
+    assign_var = None
+    assign_vals, prefix_lens = [], []
+    pivot = pk = None
+    units: list = []
+    n_units = p_len = None
+    for _, body in branches:
+        if not body or not isinstance(body[-1], ast.Assign):
+            return None
+        a = body[-1]
+        if a.add_previous_value or a.addend is not None:
+            return None
+        if assign_var is None:
+            assign_var = a.var
+        elif a.var != assign_var:
+            return None
+        assign_vals.append(int(a.offset))
+        body = body[:-1]
+        # split: prefix observes | pivot (non-observes) | suffix observes
+        P = 0
+        while P < len(body) and is_unit(body[P]):
+            P += 1
+        q = P
+        while q < len(body) and not is_unit(body[q]):
+            q += 1
+        if q == P:  # no pivot block
+            return None
+        if not all(is_unit(st) for st in body[q:]):
+            return None
+        piv = body[P:q]
+        if pivot is None:
+            pivot, pk, p_len = piv, [key(st) for st in piv], q - P
+            n_units = len(body) - p_len
+            units = [None] * n_units
+        elif (q - P != p_len or [key(st) for st in piv] != pk
+              or len(body) - p_len != n_units):
+            return None
+        prefix_lens.append(P)
+        inst = list(body[:P]) + list(body[q:])
+        for i, st in enumerate(inst):
+            if units[i] is None:
+                units[i] = st
+            elif key(units[i]) != key(st):
+                return None
+    if n_units is None or n_units < 2 or any(u is None for u in units):
+        return None
+    if len(set(assign_vals)) != n_br:
+        return None
+    for st in pivot:
+        if not (isinstance(st, ast.Sample) and not st.add_previous_value
+                and st.distribution.used_vars() == 0):
+            return None
+    return CascadeForm(
+        prologue=prologue, qs=qs, units=list(units), pivot=tuple(pivot),
+        assign_var=assign_var, assign_vals=assign_vals,
+        prefix_lens=prefix_lens, n_units=n_units,
+    )
+
+
+def _ratio_f(r) -> float:
+    if isinstance(r, ast.ParamRatio):
+        raise UnsupportedForScan("$param in cascade")
+    if isinstance(r, int):
+        return float(r)
+    if r.denom == 0:
+        raise UnsupportedForScan("zero-denominator ratio")
+    return float(Fraction(r.numer, r.denom))
+
+
+_CONT_DISTS = (ast.Exponential, ast.Gamma, ast.UniformCont)
+
+
+def _quad_grid(lo: float, hi: float, order: int):
+    """Composite Gauss-Legendre nodes/weights: geometric panels from
+    hi/1e4 up when lo == 0 (resolves posterior bumps anywhere in the
+    domain at relative node spacing ~panel count/order), linear panels
+    otherwise."""
+    from numpy.polynomial.legendre import leggauss
+
+    # panel count saturates at 32 so the per-panel node count grows
+    # with the order: composite GL converges exponentially in nodes-
+    # per-panel for analytic integrands, which is what makes the
+    # order-doubling validation terminate early
+    npan = max(8, min(32, order // 16))
+    per = max(4, order // npan)
+    gx, gw = leggauss(per)
+    if lo == 0.0 and hi > 0:
+        r = 1e-4 ** (1.0 / (npan - 1))
+        edges = [0.0] + [hi * r ** (npan - 1 - k) for k in range(npan)]
+    else:
+        edges = list(np.linspace(lo, hi, npan + 1))
+    xs, ws = [], []
+    for a, b in zip(edges[:-1], edges[1:]):
+        c, h = 0.5 * (a + b), 0.5 * (b - a)
+        xs.append(c + h * gx)
+        ws.append(h * gw)
+    return np.concatenate(xs), np.concatenate(ws)
+
+
+def _cascade_units_poisson(units) -> list:
+    """Extract (c_i, f_i, var) from `observe c ~ Poisson(f*v)` units."""
+    out = []
+    for st in units:
+        ev = st.recognize_observe()
+        if not isinstance(ev, ast.DataFromDist):
+            raise UnsupportedForScan(f"cascade unit {st}")
+        d = ev.dist
+        if isinstance(d, ast.PoissonVarRate):
+            out.append((int(ev.data), _ratio_f(d.rate), d.var))
+        else:
+            raise UnsupportedForScan(f"cascade unit observes {d}")
+    return out
+
+
+def _log_pois_rows(cs, fs, xs) -> np.ndarray:
+    """rows[i, j] = Poisson(c_i; f_i * xs_j), stable host f64."""
+    import math
+
+    cmax = int(max(cs)) if len(cs) else 0
+    logfact = np.zeros(cmax + 1)
+    for k in range(2, cmax + 1):
+        logfact[k] = logfact[k - 1] + math.log(k)
+    rows = np.empty((len(cs), len(xs)))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i, (c, f) in enumerate(zip(cs, fs)):
+            lam = f * xs
+            if c == 0:
+                rows[i] = np.exp(-lam)
+            else:
+                lg = np.where(lam > 0, np.log(np.where(lam > 0, lam, 1.0)),
+                              -np.inf)
+                rows[i] = np.exp(c * lg - lam - logfact[c])
+    return np.nan_to_num(rows, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def _prior_grid(dist, order: int, units_cf):
+    """(xs, w0) for a prior distribution: integer grid + pmf for
+    discrete supports, composite quadrature + pdf*weight for continuous.
+    ``units_cf`` = [(c, f)] of the Poisson units, used to bound the
+    half-infinite quadrature domain (beyond min_i (c_i + 60*sqrt(c_i+1)
+    + 160)/f_i every branch posterior is negligible: each unit row is a
+    factor <= 1 of every branch product that includes it, and both
+    prefix and suffix products include a unit beyond any split)."""
+    import math
+
+    if isinstance(dist, _CONT_DISTS):
+        if isinstance(dist, ast.UniformCont):
+            lo, hi = _ratio_f(dist.start), _ratio_f(dist.end)
+            xs, gw = _quad_grid(lo, hi, order)
+            w0 = gw / max(hi - lo, 1e-300)
+            return xs, w0
+        if isinstance(dist, ast.Exponential):
+            lam = _ratio_f(dist.rate)
+            a, b = 1.0, lam
+        else:  # Gamma
+            a, b = _ratio_f(dist.shape), _ratio_f(dist.rate)
+        hi_prior = (a + 40.0 * math.sqrt(a + 1) + 120.0) / b
+        hi_lik = min(
+            ((c + 60.0 * math.sqrt(c + 1) + 160.0) / f)
+            for c, f in units_cf
+        ) if units_cf else hi_prior
+        hi = min(hi_prior, hi_lik)
+        xs, gw = _quad_grid(0.0, hi, order)
+        with np.errstate(divide="ignore"):
+            logpdf = np.where(
+                xs > 0,
+                a * math.log(b) + (a - 1.0) * np.log(np.where(xs > 0, xs, 1.0))
+                - b * xs - math.lgamma(a),
+                (0.0 if a == 1.0 else -np.inf),
+            )
+            pdf = np.exp(np.where(xs > 0, logpdf, np.log(b) if a == 1.0
+                                  else -np.inf))
+        return xs, np.nan_to_num(pdf, nan=0.0, posinf=0.0) * gw
+    # discrete: integer grid
+    xs = np.arange(order, dtype=np.float64)
+    if isinstance(dist, ast.Geometric):
+        w0 = _geom_vec(_ratio_f(dist.p), order)
+    elif isinstance(dist, ast.Poisson):
+        w0 = _pois_vec(_ratio_f(dist.rate), order)
+    elif isinstance(dist, ast.UniformDisc):
+        w0 = _uniform_vec(dist.start, dist.end, order)
+    elif isinstance(dist, ast.Bernoulli):
+        w0 = _bern_vec(_ratio_f(dist.p), order)
+    elif isinstance(dist, ast.Binomial):
+        w0 = _binom_vec(dist.n, _ratio_f(dist.p), order)
+    elif isinstance(dist, ast.NegBinomial):
+        w0 = _negbinom_vec(dist.n, _ratio_f(dist.p), order)
+    else:
+        raise UnsupportedForScan(f"cascade prior {dist}")
+    return xs, w0
+
+
+class CascadeCompiled:
+    """Compiled telescoping cascade at one grid order (API-compatible
+    subset of :class:`ScanCompiled`: ``run`` and ``rep.n_iters``).
+
+    The per-order state is one grid row (~order f64 values) and the
+    scans are ~n_units elementwise passes over it — host-sized work.
+    It runs in numpy on purpose: initializing an accelerator backend
+    just to shuttle these rows through the tunnel costs orders of
+    magnitude more than the whole computation (first device contact
+    alone is tens of seconds through the axon tunnel), and the XLA scan
+    path is reserved for the grid-tensor models (ScanCompiled) where
+    device compute actually pays."""
+
+    def __init__(self, program: ast.Program, form: CascadeForm,
+                 order: int):
+        self.program = program
+        self.form = form
+        self.order = order
+        self.rep = dataclasses.make_dataclass(
+            "_R", ["n_iters"]
+        )(n_iters=form.n_units)
+        units = _cascade_units_poisson(form.units)
+        uvars = {v for (_, _, v) in units}
+        if len(uvars) != 1:
+            raise UnsupportedForScan("cascade units touch several vars")
+        v = uvars.pop()
+        pivot_d = [st for st in form.pivot if st.var == v]
+        if len(pivot_d) != 1:
+            raise UnsupportedForScan("pivot does not resample the unit var")
+        prior_out = [st for st in form.prologue if st.var == v]
+        if not prior_out:
+            raise UnsupportedForScan("no outer prior for the unit var")
+        # other prologue/pivot samples are independent normalized factors
+        # (weight 1); they may not be the result or referenced elsewhere
+        if program.result != form.assign_var:
+            raise UnsupportedForScan("cascade result is not the switch var")
+        units_cf = [(c, f) for (c, f, _) in units]
+        xs0, w0 = _prior_grid(prior_out[-1].distribution, order, units_cf)
+        xs1, h0 = _prior_grid(pivot_d[0].distribution, order, units_cf)
+        if len(xs0) != len(xs1) or not np.array_equal(xs0, xs1):
+            raise UnsupportedForScan("prior/pivot grids differ")
+        cs = [c for (c, _, _) in units]
+        fs = [f for (_, f, _) in units]
+        if isinstance(prior_out[-1].distribution, _CONT_DISTS):
+            rows = _log_pois_rows(cs, fs, xs0)
+        else:
+            n = len(xs0)
+            rows = np.stack(
+                [_obs_pois_rate_row(c, f, n) for c, f in zip(cs, fs)]
+            )
+        self._w0 = np.asarray(w0)
+        self._h0 = np.asarray(h0)
+        self._rows = np.asarray(rows)
+        self._qs = np.asarray([float(q) for q in form.qs])
+
+    @staticmethod
+    def _cumscan(w0: np.ndarray, rows: np.ndarray):
+        """Forward masses with power-of-two rescaling: after step i the
+        carry holds w0 times the product of rows[:i+1]; returns the
+        per-step (mantissa sum, exponent) arrays."""
+        n = rows.shape[0]
+        sums = np.empty(n)
+        es = np.empty(n)
+        w = w0.copy()
+        e = 0.0
+        for i in range(n):
+            w *= rows[i]
+            m = w.max()
+            if m > 0:
+                ee = float(np.floor(np.log2(m)))
+                w *= 2.0 ** -ee
+                e += ee
+            sums[i] = w.sum()
+            es[i] = e
+        return sums, es
+
+    def run(self):
+        form = self.form
+        fsums, fes = self._cumscan(self._w0, self._rows)
+        a = np.concatenate([[self._w0.sum()], fsums])
+        ae = np.concatenate([[0.0], fes])
+        bsums, bes = self._cumscan(self._h0, self._rows[::-1])
+        b = np.concatenate([[self._h0.sum()], bsums])[::-1]
+        be = np.concatenate([[0.0], bes])[::-1]
+        pls = np.asarray(form.prefix_lens, dtype=np.int64)
+        # branch k: P_k prefix units at the outer draw, suffix units
+        # P_k+1..n at the pivot draw
+        mant = self._qs * a[pls] * b[pls]
+        ee = ae[pls] + be[pls]
+        live = mant != 0
+        mmax = float(ee[live].max()) if live.any() else 0.0
+        wts = mant * np.exp2(ee - mmax) * 2.0 ** mmax
+        size = max(form.assign_vals) + 1
+        masses = np.zeros(size)
+        for k, val in enumerate(form.assign_vals):
+            masses[val] += wts[k]
+        return masses, float(masses.sum())
+
+
 class ScanCompiled:
     """A compiled scan program at one grid order.
 
@@ -1203,20 +1613,35 @@ def compile_scan_program(program: ast.Program, order: int = 128,
                 _no_while(s.stmts)
 
     _no_while(program.stmts)
-    rep = detect_repetition(program.stmts, min_iters=min_iters)
-    if rep is None:
-        # no repeated block: compile the whole program as straight-line
-        # mass semantics (still grid-validated by order doubling) — this
-        # covers e.g. nested-inference programs, whose normalize blocks
-        # batch over the given-variable axes instead of enumerating
-        rep = Repetition(
-            prologue=tuple(program.stmts), template=(), data=[],
-            n_iters=0, epilogue=(),
-        )
+    casc = detect_cascade(program.stmts)
+    rep = None
+    if casc is None:
+        rep = detect_repetition(program.stmts, min_iters=min_iters)
+        if rep is None:
+            # no repeated block: compile the whole program as
+            # straight-line mass semantics (still grid-validated by
+            # order doubling) — this covers e.g. nested-inference
+            # programs, whose normalize blocks batch over the
+            # given-variable axes instead of enumerating
+            if program.size() > 2000:
+                # straight-line mass compilation traces every statement
+                # into one XLA program; a repetition-free program this
+                # large (e.g. an unrecognized cascade variant) would
+                # trace for minutes — the interpreter is faster
+                raise UnsupportedForScan(
+                    "no repetition detected in a large program"
+                )
+            rep = Repetition(
+                prologue=tuple(program.stmts), template=(), data=[],
+                n_iters=0, epilogue=(),
+            )
     prev = prev_obj = None
     o = order
     while o <= max_order:
-        obj = ScanCompiled(program, rep, o, max_steps=max_steps)
+        if casc is not None:
+            obj = CascadeCompiled(program, casc, o)
+        else:
+            obj = ScanCompiled(program, rep, o, max_steps=max_steps)
         cur = obj.run()
         if prev is not None:
             m_prev, z_prev = prev

@@ -91,14 +91,99 @@ def test_detection_shape():
     assert len(rep.template) == 3 and len(rep.data) == 2
 
 
-def test_switchpoint_unsupported():
-    """Continuous latents (Exponential) are outside the fragment."""
+REAL_WORLD = Path("/root/reference/test/expect/real_world")
+
+
+def test_cascade_switchpoint_discrete_golden():
+    """The telescoping-cascade compiler on the committed discrete
+    switchpoint (Geometric prior): forward/backward factorized scans
+    must reproduce the reference golden."""
     from genfer_tpu.lang.parser import parse_file
-    from genfer_tpu.scanc import UnsupportedForScan, compile_scan
+    from genfer_tpu.scanc import compile_scan
+
+    prog = parse_file(str(REAL_WORLD / "switchpoint.sgcl"))
+    masses, Z, n = compile_scan(prog, order=128)
+    assert n == 109
+    text = (REAL_WORLD / "switchpoint.expect").read_text()
+    z_exp = float(re.search(r"Z = ([\d.e+-]+)", text).group(1))
+    p41 = float(re.search(r"p\(41\) / Z = ([\d.e+-]+)", text).group(1))
+    assert abs(Z - z_exp) / z_exp <= 1e-11
+    assert abs(masses[41] / Z - p41) <= 1e-11
+
+
+def test_cascade_switchpoint_continuous_exact():
+    """Continuous-latent switchpoint (Exponential prior) through the
+    composite-quadrature grid, checked against the EXACT Gamma-Poisson
+    conjugacy closed form: prefix_lik(P) = Gamma(A+1)/(P+1)^(A+1)/prod
+    c_i! with A = sum of the prefix counts.  (The committed reference
+    golden itself is ~1.2e-8 off this exact value; the quadrature
+    matches it to ~1e-15.)"""
+    import math
+
+    from genfer_tpu.lang.parser import parse_file
+    from genfer_tpu.scanc import (CascadeCompiled, _cascade_units_poisson,
+                                  detect_cascade)
 
     prog = parse_file(str(APPROX / "switchpoint" / "switchpoint.sgcl"))
-    with pytest.raises(UnsupportedForScan):
-        compile_scan(prog, order=32)
+    form = detect_cascade(prog.stmts)
+    assert form is not None and form.n_units == 109
+    obj = CascadeCompiled(prog, form, 512)
+    masses, Z = obj.run()
+
+    units = _cascade_units_poisson(form.units)
+    cs = [c for c, _, _ in units]
+    assert all(f == 1.0 for _, f, _ in units)
+    n = len(cs)
+
+    def loglik(cseg, nseg):
+        A = sum(cseg)
+        return (math.lgamma(A + 1) - (A + 1) * math.log(nseg + 1)
+                - sum(math.lgamma(c + 1) for c in cseg))
+
+    import numpy as np
+    logws = []
+    for q, P in zip(form.qs, form.prefix_lens):
+        logws.append(math.log(float(q)) + loglik(cs[:P], P)
+                     + loglik(cs[P:], n - P))
+    logws = np.asarray(logws)
+    m = logws.max()
+    ws = np.exp(logws - m)
+    Z_exact = ws.sum() * math.exp(m)
+    assert abs(Z - Z_exact) / Z_exact <= 1e-12, (Z, Z_exact)
+
+
+def test_cascade_synthetic_vs_interpreter():
+    """A small hand-written cascade (irregular prefix lengths and
+    assign values) against the generic interpreter."""
+    units = ["observe 2 ~ Poisson(0.5 * r);", "observe 0 ~ Poisson(0.5 * r);",
+             "observe 3 ~ Poisson(0.5 * r);", "observe 1 ~ Poisson(0.5 * r);",
+             "observe 4 ~ Poisson(0.5 * r);"]
+    n = len(units)
+    branches = []
+    for k in range(n + 1):
+        body = units[:k] + ["r ~ Geometric(0.3);"] + units[k:]
+        body.append(f"sp := {10 + 2 * k};")
+        p = f"1 ~ Bernoulli(1 / {n + 1 - k})"
+        branches.append((p, body))
+    src = "r ~ Geometric(0.3);\n"
+    for i, (p, body) in enumerate(branches):
+        kw = "if" if i == 0 else "} else if"
+        src += f"{kw} {p} {{\n" + "\n".join(body) + "\n"
+    src += "} else {}\n"
+    src += "return sp;"
+    out_scan = _cli(src, "--compile-scan")
+    out_interp = _cli(src)
+    ps = _parse_probs(out_scan)
+    pi = _parse_probs(out_interp)
+    zs = re.search(r"Z = ([\d.e+-]+)", out_scan)
+    zi = re.search(r"Z = ([\d.e+-]+)", out_interp)
+    assert zs and zi
+    Zi = float(zi.group(1))
+    assert abs(float(zs.group(1)) - Zi) / Zi <= 1e-9
+    assert set(pi) <= set(ps)
+    for k in sorted(set(ps) & set(pi)):
+        denom = max(abs(pi[k]), Zi * 1e-12)
+        assert abs(ps[k] - pi[k]) / denom <= 1e-8, (k, ps[k], pi[k])
 
 
 def _cli(src, *flags):
