@@ -1560,20 +1560,45 @@ class ScanCompiled:
     def run_batch(self, batch_cols):
         """Batched serving: ``batch_cols`` is a list over slots of
         (B, n_steps) arrays; returns (B, result_size) masses and (B,)
-        totals through one vmapped dispatch."""
+        totals through one vmapped dispatch.
+
+        Host prep is vectorized: the per-step slot-value tuples draw
+        from a small alphabet (observation counts), so each feed's rows
+        are built once per distinct tuple and scattered to the (B,
+        steps) layout with one fancy-indexing gather — the per-dataset
+        Python loop was 75% of steady-state serving time (two_
+        populations2000-class datasets reprepared rows per dataset)."""
         import jax.numpy as jnp
 
-        B = int(np.asarray(batch_cols[0]).shape[0]) if batch_cols else 1
-        memo: dict = {}
-        per = []
-        for i in range(B):
-            per.append(self.prepare_xs(
-                [np.asarray(c[i], dtype=np.float64) for c in batch_cols],
-                memo=memo,
-            ))
-        xs = tuple(
-            jnp.stack([p[j] for p in per]) for j in range(len(per[0]))
+        if not batch_cols:
+            xs = self.prepare_xs([])
+            xs = tuple(jnp.asarray(a)[None] for a in xs)
+            marg, logz = self._run_batch(self._g0, xs)
+            scale = 2.0 ** np.asarray(logz, dtype=np.float64)
+            masses = np.asarray(marg, dtype=np.float64) * scale[:, None]
+            return masses, masses.sum(axis=1)
+        cols = [np.asarray(c, dtype=np.float64) for c in batch_cols]
+        B, n = cols[0].shape
+        if n == 0 and self._feeds:
+            raise UnsupportedForScan("empty dataset")
+        cap = max(getattr(self, "max_steps", n), n)
+        keymat = np.stack(cols, axis=-1).reshape(B * n, len(cols))
+        uniq, inv = np.unique(keymat, axis=0, return_inverse=True)
+        xs_stacked = []
+        for spec in self._feeds:
+            table = np.stack([
+                np.asarray(spec(list(row)), dtype=np.float64)
+                for row in uniq
+            ])
+            arr = table[inv].reshape((B, n) + table.shape[1:])
+            if cap > n:
+                pad = np.repeat(arr[:, -1:], cap - n, axis=1)
+                arr = np.concatenate([arr, pad], axis=1)
+            xs_stacked.append(jnp.asarray(arr))
+        valid = np.concatenate(
+            [np.ones((B, n)), np.zeros((B, cap - n))], axis=1
         )
+        xs = tuple(xs_stacked) + (jnp.asarray(valid),)
         marg, logz = self._run_batch(self._g0, xs)
         scale = 2.0 ** np.asarray(logz, dtype=np.float64)
         masses = np.asarray(marg, dtype=np.float64) * scale[:, None]
