@@ -201,8 +201,8 @@ def sharded_conv_nd(mesh, a, b, out_shape):
     return out[: out_shape[0]]
 
 
-def halo_conv_2d(mesh, a, b, out_shape):
-    """Truncated 2-D Cauchy product with *operand storage* sharded:
+def halo_conv_nd(mesh, a, b, out_shape):
+    """Truncated n-D Cauchy product with *operand storage* sharded:
     ``a``, ``b`` and the output are all row-sharded over ``tp``, so an
     8-device mesh holds ~8x the coefficients of one device (SURVEY
     §2.9's memory-scaling row; the replicated-operand kernels above
@@ -229,20 +229,23 @@ def halo_conv_2d(mesh, a, b, out_shape):
 
     from ..taylor.backend import _conv_dense
 
-    c0, c1 = int(out_shape[0]), int(out_shape[1])
+    out_shape = tuple(int(x) for x in out_shape)
+    c0, rest = out_shape[0], out_shape[1:]
     tp = mesh.shape["tp"]
     assert c0 % tp == 0, "out rows must divide the tp axis"
     B = c0 // tp
     ring_up = [(i, (i + 1) % tp) for i in range(tp)]    # spill r -> r+1
     ring_down = [(i, (i - 1) % tp) for i in range(tp)]  # acc r -> r-1
 
+    c1 = rest[0]
     a1 = int(a.shape[1])
     b1 = int(b.shape[1])
-    W = -(-a1 // tp)  # column chunk: bounds the cubic intermediate of
-    # the local conv at (2B, W, b1) ~ 2n^3/tp^2 per device
+    W = -(-a1 // tp)  # axis-1 chunk: bounds the cubic intermediate of
+    # the local conv at (2B, W, b1, rest[1:]) ~ 2n^3/tp^2 per device
+    tail = rest[1:]
 
     def local_conv(a_vis, b_loc):
-        full = jnp.zeros((2 * B - 1, c1), a_vis.dtype)
+        full = jnp.zeros((2 * B - 1,) + rest, a_vis.dtype)
         for t in range(tp):
             lo = t * W
             if lo >= a1 or lo >= c1:
@@ -250,14 +253,14 @@ def halo_conv_2d(mesh, a, b, out_shape):
             hi = min(a1, lo + W)
             wlen = min(hi - lo + b1 - 1, c1 - lo)
             part = _conv_dense(
-                jnp, a_vis[:, lo:hi], b_loc, (2 * B - 1, wlen)
+                jnp, a_vis[:, lo:hi], b_loc, (2 * B - 1, wlen) + tail
             )
             full = full.at[:, lo : lo + wlen].add(part)
         return full
 
     def kernel(a_loc, b_loc):
         r = jax.lax.axis_index("tp")
-        acc = jnp.zeros((B, c1), a_loc.dtype)
+        acc = jnp.zeros((B,) + rest, a_loc.dtype)
 
         def step(s, acc):
             # broadcast block a_s: psum of the masked local block
@@ -273,7 +276,7 @@ def halo_conv_2d(mesh, a, b, out_shape):
             # device 0's received spill wrapped from tp-1: block tp+s,
             # always truncated
             ok = (r > 0) & (r + s < tp)
-            pad = jnp.zeros((1, c1), a_loc.dtype)
+            pad = jnp.zeros((1,) + rest, a_loc.dtype)
             acc = acc + jnp.where(
                 ok, jnp.concatenate([spill, pad]), 0.0
             )
@@ -290,6 +293,10 @@ def halo_conv_2d(mesh, a, b, out_shape):
         check_vma=False,
     )
     return fn(a, b)
+
+
+#: 2-D entry point kept for existing callers (tests, dryrun stage 1b)
+halo_conv_2d = halo_conv_nd
 
 
 def sharded_div_lanes(mesh, xs, ys, out_shape, axis):
@@ -528,6 +535,19 @@ class ShardedF64Backend:
                     a_sq = a.reshape([a.shape[i] for i in eff])
                     b_sq = b.reshape([b.shape[i] for i in eff])
                     eff_out = tuple(out_shape[i] for i in eff)
+                    if eff_out[0] >= halo_rows:
+                        # memory-scaled n-D path: operand storage 1/tp
+                        rows = ((eff_out[0] + tp - 1) // tp) * tp
+                        a2 = self._pad_to(
+                            a_sq[:rows], (rows,) + a_sq.shape[1:]
+                        )
+                        b2 = self._pad_to(
+                            b_sq[:rows], (rows,) + b_sq.shape[1:]
+                        )
+                        out = halo_conv_nd(
+                            self.mesh, a2, b2, (rows,) + eff_out[1:]
+                        )
+                        return out[: eff_out[0]].reshape(out_shape)
                     # shard the larger operand's leading axis
                     if b_sq.shape[0] > a_sq.shape[0]:
                         a_sq, b_sq = b_sq, a_sq

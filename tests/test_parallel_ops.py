@@ -393,6 +393,51 @@ def test_halo_conv_2d_memory_scaled():
     ratio = mb.temp_size_in_bytes / max(ma.temp_size_in_bytes, 1)
     assert ratio >= 4.0, f"halo temp memory only {ratio:.1f}x smaller"
 
+def test_halo_conv_nd():
+    """The systolic operand-sharded kernel generalized to n-D: trailing
+    axes are truncated inside the local conv; 3- and 4-D cases match
+    the host kernel at f64 roundoff."""
+    import numpy as np
+
+    from genfer_tpu.parallel.mesh import halo_conv_nd, make_mesh
+    from genfer_tpu.taylor.backend import NumpyF64Backend
+
+    nb = NumpyF64Backend()
+    mesh = make_mesh(8, dp=1)
+    rng = np.random.RandomState(3)
+    for sa, sb, out in [
+        ((64, 20, 12), (64, 16, 10), (64, 24, 16)),
+        ((32, 10, 6, 5), (32, 8, 6, 4), (32, 12, 8, 6)),
+    ]:
+        a = rng.rand(*sa)
+        b = rng.rand(*sb)
+        want = nb.conv_trunc(a, b, out)
+        got = np.asarray(halo_conv_nd(mesh, a, b, out))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_sharded_backend_halo_nd_route():
+    """ShardedF64Backend routes big >=3-D convs through the memory-
+    scaled halo kernel (rows >= halo_min_rows) and stays exact."""
+    import numpy as np
+
+    from genfer_tpu.parallel.mesh import ShardedF64Backend, make_mesh
+    from genfer_tpu.taylor.backend import NumpyF64Backend
+
+    nb = NumpyF64Backend()
+    mesh = make_mesh(8, dp=1)
+    sb = ShardedF64Backend(
+        mesh=mesh, min_rows_per_device=1, halo_min_rows=32
+    )
+    sb.conv_shard_flops = 1  # force the sharded paths
+    rng = np.random.RandomState(5)
+    a = rng.rand(48, 14, 10)
+    b = rng.rand(40, 12, 8)
+    out = (48, 16, 12)
+    want = nb.conv_trunc(a, b, out)
+    got = np.asarray(sb.conv_trunc(a, b, out))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
 
 def test_sharded_backend_halo_route():
     """ShardedF64Backend routes big 2-axis convs through the halo
