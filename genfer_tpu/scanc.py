@@ -422,9 +422,12 @@ def grid_sizes(program: ast.Program, order: int) -> list:
 # ----------------------------------------------------------------------
 
 def _ratio_or_slot(x):
-    """A PosRatio/Slot parameter -> ('static', float) | ('slot', idx)."""
+    """A PosRatio/Slot/ParamRatio parameter -> ('static', float) |
+    ('slot', idx) | ('param', (name, complemented))."""
     if isinstance(x, Slot):
         return ("slot", x.idx)
+    if isinstance(x, ast.ParamRatio):
+        return ("param", (x.name, x.complemented))
     if isinstance(x, ast.PosRatio):
         if x.denom == 0:
             raise UnsupportedForScan("ratio with zero denominator")
@@ -445,7 +448,13 @@ class _MassCompiler:
         self.jnp = jnp
         self.sizes = sizes
         self.nv = len(sizes)
-        self.feeds = []  # fn(slot_values: list[float]) -> np.ndarray
+        # per-step feeds: fn(slot_values, params) -> np.ndarray, read
+        # from env[0] (the scan's per-iteration xs)
+        self.feeds = []
+        # binding-only feeds ($param, no per-iteration slot): fn(params)
+        # -> np.ndarray, read from env[1] (per-run constants) — legal in
+        # the prologue/epilogue too
+        self.const_feeds = []
 
     # -- feed/static helpers -------------------------------------------
     def _maybe_feed(self, prep: Callable, params: list):
@@ -455,15 +464,41 @@ class _MassCompiler:
         kinds = [_ratio_or_slot(p) for p in params]
         if all(k == "static" for k, _ in kinds):
             arr = self.jnp.asarray(prep(*[v for _, v in kinds]))
-            return lambda xs: arr
-        def resolve(slot_values):
+            return lambda env: arr
+
+        def _arg(k, v, slot_values, penv):
+            if k == "static":
+                return v
+            if k == "slot":
+                return slot_values[v]
+            name, comp = v  # param
+            try:
+                val = penv[name]
+            except (KeyError, TypeError):
+                raise UnsupportedForScan(
+                    f"unbound $param {name!r}: pass params= to "
+                    f"compile_scan_program / run_with_data"
+                )
+            return 1.0 - float(val) if comp else float(val)
+
+        if not any(k == "slot" for k, _ in kinds):
+            # $param-only: constant across iterations, rebuilt per
+            # binding and passed as a run-time argument
+            def cresolve(penv):
+                return prep(*[
+                    _arg(k, v, None, penv) for k, v in kinds
+                ])
+            cidx = len(self.const_feeds)
+            self.const_feeds.append(cresolve)
+            return lambda env: env[1][cidx]
+
+        def resolve(slot_values, penv=None):
             return prep(*[
-                v if k == "static" else slot_values[v]
-                for k, v in kinds
+                _arg(k, v, slot_values, penv) for k, v in kinds
             ])
         idx = len(self.feeds)
         self.feeds.append(resolve)
-        return lambda xs: xs[idx]
+        return lambda env: env[0][idx]
 
     # -- axis helpers ---------------------------------------------------
     def _bshape(self, axis: int, ln: int):
@@ -1438,7 +1473,8 @@ class ScanCompiled:
     for ANY detected program."""
 
     def __init__(self, program: ast.Program, rep: Repetition, order: int,
-                 max_steps: Optional[int] = None):
+                 max_steps: Optional[int] = None,
+                 params: Optional[dict] = None):
         import jax
         import jax.numpy as jnp
 
@@ -1446,60 +1482,76 @@ class ScanCompiled:
         self.program = program
         self.order = order
         self.rep = rep
+        self.params = dict(params) if params else {}
         self.max_steps = int(max_steps or max(rep.n_iters, 1))
         sizes = grid_sizes(program, order)
         self.sizes = sizes
         mc = _MassCompiler(sizes)
         pre_ap = mc.compile_block(rep.prologue)
-        n_pre_feeds = len(mc.feeds)
-        if n_pre_feeds:
+        if mc.feeds:
             raise UnsupportedForScan("slots escaped into the prologue")
         tpl_ap = mc.compile_block(rep.template)
-        self._feeds = mc.feeds[n_pre_feeds:]
+        self._feeds = list(mc.feeds)
         n_tpl = len(mc.feeds)
         post_ap = mc.compile_block(rep.epilogue)
         if len(mc.feeds) != n_tpl:
             raise UnsupportedForScan("slots escaped into the epilogue")
+        self._const_feeds = list(mc.const_feeds)
         self._xs = self.prepare_xs(rep.data, rep.n_iters)
+        self._consts0 = self._consts(self.params)
         rv = program.result
 
-        def step(carry, xs_v):
-            xs, valid = xs_v[:-1], xs_v[-1]
-            g, logz = carry
-            gn = tpl_ap(g, xs)
-            m = jnp.max(gn)
-            e = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
-            gn = gn / jnp.exp2(e)
-            return (
-                jnp.where(valid > 0, gn, g),
-                logz + jnp.where(valid > 0, e, 0.0),
-            ), None
+        def step_fn(consts):
+            def step(carry, xs_v):
+                xs, valid = xs_v[:-1], xs_v[-1]
+                g, logz = carry
+                gn = tpl_ap(g, (xs, consts))
+                m = jnp.max(gn)
+                e = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
+                gn = gn / jnp.exp2(e)
+                return (
+                    jnp.where(valid > 0, gn, g),
+                    logz + jnp.where(valid > 0, e, 0.0),
+                ), None
+            return step
 
         has_scan = rep.n_iters > 0 and len(rep.template) > 0
 
-        def run(g0, xs):
-            g = pre_ap(g0, ())
+        def run(g0, xs, consts):
+            g = pre_ap(g0, ((), consts))
             m = jnp.max(g)
             e0 = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
             g = g / jnp.exp2(e0)
             if has_scan:
-                (g, logz), _ = jax.lax.scan(step, (g, e0), xs)
+                (g, logz), _ = jax.lax.scan(step_fn(consts), (g, e0), xs)
             else:
                 logz = e0
-            g = post_ap(g, ())
+            g = post_ap(g, ((), consts))
             axes = tuple(a for a in range(len(sizes)) if a != rv)
             marg = jnp.sum(g, axis=axes) if axes else g
             return marg, logz
 
         self._run = jax.jit(run)
-        self._run_batch = jax.jit(jax.vmap(run, in_axes=(None, 0)))
+        self._run_batch = jax.jit(jax.vmap(run, in_axes=(None, 0, None)))
+        self._run_sweep = jax.jit(jax.vmap(run, in_axes=(None, 0, 0)))
         g0 = np.zeros(sizes)
         g0[(0,) * len(sizes)] = 1.0
         self._g0 = g0
 
+    def _consts(self, params):
+        """Per-binding constant feed rows ($param-only feeds)."""
+        import jax.numpy as jnp
+
+        penv = params if params is not None else self.params
+        return tuple(
+            jnp.asarray(np.asarray(f(penv), dtype=np.float64))
+            for f in self._const_feeds
+        )
+
     # -- data preparation ----------------------------------------------
     def prepare_xs(self, data_cols, n_steps: Optional[int] = None,
-                   memo: Optional[dict] = None):
+                   memo: Optional[dict] = None,
+                   params: Optional[dict] = None):
         """Host-precompute the stacked per-iteration feed arrays for a
         dataset (one array per slot, each of length <= max_steps) plus
         the trailing valid mask; shorter datasets are padded with
@@ -1519,18 +1571,20 @@ class ScanCompiled:
         ]
         if memo is None:
             memo = {}
+        penv = self.params if params is None else params
+        pkey = tuple(sorted(penv.items())) if penv else ()
         xs_stacked = []
         for fi, spec in enumerate(self._feeds):
             # iteration values repeat heavily (observation counts draw
             # from a small alphabet): memoize the host row per distinct
-            # slot-value tuple
+            # slot-value tuple (+ the parameter binding)
             rows = []
             for i in range(n):
-                mk = (fi, keys[i])
+                mk = (fi, keys[i], pkey)
                 row = memo.get(mk)
                 if row is None:
                     row = np.asarray(
-                        spec(list(keys[i])), dtype=np.float64
+                        spec(list(keys[i]), penv), dtype=np.float64
                     )
                     memo[mk] = row
                 rows.append(row)
@@ -1543,17 +1597,21 @@ class ScanCompiled:
         return tuple(jnp.asarray(a) for a in xs_stacked)
 
     def run(self):
-        marg, logz = self._run(self._g0, self._xs)
+        marg, logz = self._run(self._g0, self._xs, self._consts0)
         masses = np.asarray(marg, dtype=np.float64) * 2.0 ** float(logz)
         return masses, float(masses.sum())
 
-    def run_with_data(self, data_cols):
+    def run_with_data(self, data_cols, params: Optional[dict] = None):
         """Unnormalized posterior masses for a new dataset (list of
-        per-slot value arrays, same slot order as ``rep.data``)."""
+        per-slot value arrays, same slot order as ``rep.data``),
+        optionally under a new ``$param`` binding."""
         xs = self.prepare_xs(
-            [np.asarray(c, dtype=np.float64) for c in data_cols]
+            [np.asarray(c, dtype=np.float64) for c in data_cols],
+            params=params,
         )
-        marg, logz = self._run(self._g0, xs)
+        consts = self._consts(params) if params is not None \
+            else self._consts0
+        marg, logz = self._run(self._g0, xs, consts)
         masses = np.asarray(marg, dtype=np.float64) * 2.0 ** float(logz)
         return masses, float(masses.sum())
 
@@ -1573,7 +1631,7 @@ class ScanCompiled:
         if not batch_cols:
             xs = self.prepare_xs([])
             xs = tuple(jnp.asarray(a)[None] for a in xs)
-            marg, logz = self._run_batch(self._g0, xs)
+            marg, logz = self._run_batch(self._g0, xs, self._consts0)
             scale = 2.0 ** np.asarray(logz, dtype=np.float64)
             masses = np.asarray(marg, dtype=np.float64) * scale[:, None]
             return masses, masses.sum(axis=1)
@@ -1585,9 +1643,10 @@ class ScanCompiled:
         keymat = np.stack(cols, axis=-1).reshape(B * n, len(cols))
         uniq, inv = np.unique(keymat, axis=0, return_inverse=True)
         xs_stacked = []
+        penv = self.params
         for spec in self._feeds:
             table = np.stack([
-                np.asarray(spec(list(row)), dtype=np.float64)
+                np.asarray(spec(list(row), penv), dtype=np.float64)
                 for row in uniq
             ])
             arr = table[inv].reshape((B, n) + table.shape[1:])
@@ -1599,7 +1658,34 @@ class ScanCompiled:
             [np.ones((B, n)), np.zeros((B, cap - n))], axis=1
         )
         xs = tuple(xs_stacked) + (jnp.asarray(valid),)
-        marg, logz = self._run_batch(self._g0, xs)
+        marg, logz = self._run_batch(self._g0, xs, self._consts0)
+        scale = 2.0 ** np.asarray(logz, dtype=np.float64)
+        masses = np.asarray(marg, dtype=np.float64) * scale[:, None]
+        return masses, masses.sum(axis=1)
+
+    def run_param_sweep(self, settings, data_cols=None):
+        """Serve one dataset under a sweep of ``$param`` bindings:
+        ``settings`` is a list of {name: value} dicts; rows are rebuilt
+        per binding on the host (memo shared across the sweep) and the
+        whole sweep runs as one vmapped dispatch.  Returns
+        (S, result_size) masses and (S,) totals."""
+        import jax.numpy as jnp
+
+        if data_cols is None:
+            data_cols = self.rep.data
+        cols = [np.asarray(c, dtype=np.float64) for c in data_cols]
+        memo: dict = {}
+        per = [
+            self.prepare_xs(cols, memo=memo, params=p) for p in settings
+        ]
+        xs = tuple(
+            jnp.stack([pp[j] for pp in per]) for j in range(len(per[0]))
+        )
+        cper = [self._consts(p) for p in settings]
+        consts = tuple(
+            jnp.stack([cc[j] for cc in cper]) for j in range(len(self._const_feeds))
+        )
+        marg, logz = self._run_sweep(self._g0, xs, consts)
         scale = 2.0 ** np.asarray(logz, dtype=np.float64)
         masses = np.asarray(marg, dtype=np.float64) * scale[:, None]
         return masses, masses.sum(axis=1)
@@ -1622,7 +1708,8 @@ def compile_scan(program: ast.Program, order: int = 128,
 def compile_scan_program(program: ast.Program, order: int = 128,
                          min_iters: int = 4, max_order: int = 4096,
                          rtol: float = 1e-12,
-                         max_steps: Optional[int] = None):
+                         max_steps: Optional[int] = None,
+                         params: Optional[dict] = None):
     """Like :func:`compile_scan` but returns the converged
     :class:`ScanCompiled` object (for serving: ``run_with_data`` /
     ``run_batch``) together with its ``(masses, Z)`` on the committed
@@ -1666,7 +1753,8 @@ def compile_scan_program(program: ast.Program, order: int = 128,
         if casc is not None:
             obj = CascadeCompiled(program, casc, o)
         else:
-            obj = ScanCompiled(program, rep, o, max_steps=max_steps)
+            obj = ScanCompiled(program, rep, o, max_steps=max_steps,
+                               params=params)
         cur = obj.run()
         if prev is not None:
             m_prev, z_prev = prev

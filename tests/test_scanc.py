@@ -379,3 +379,42 @@ def test_scan_serving_batch():
         mi, zi = obj.run_with_data([bc[i], bc[i]])
         np.testing.assert_allclose(mb[i], mi, rtol=1e-12)
     assert np.isfinite(zb).all() and (zb > 0).all()
+
+
+def test_param_ratio_serving_sweep():
+    """$param programs compile once and serve parameter sweeps: every
+    binding must match a fresh interpreter run with the value inlined
+    (reference parity surface: the compile.py scam-calls serving mode)."""
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import compile_scan_program
+
+    src_tpl = """nr ~ Poisson(6);
+observe 2 ~ Binomial(nr, {p});
+nr +~ Poisson(3);
+observe 1 ~ Binomial(nr, {p});
+nr +~ Poisson(3);
+observe 3 ~ Binomial(nr, {p});
+nr +~ Poisson(3);
+observe 2 ~ Binomial(nr, {p});
+nr +~ Poisson(3);
+observe 4 ~ Binomial(nr, {p});
+return nr;"""
+    prog = parse_program(src_tpl.format(p="$p"))
+    obj, (m0, Z0) = compile_scan_program(
+        prog, order=64, params={"p": 0.3}
+    )
+    sweeps = [{"p": 0.2}, {"p": 0.3}, {"p": 0.5}]
+    masses, totals = obj.run_param_sweep(sweeps)
+    # binding used at compile time must agree with the committed run
+    np.testing.assert_allclose(masses[1], m0, rtol=1e-12)
+    for row, setting in zip(masses, sweeps):
+        out = _cli(src_tpl.format(p=repr(setting["p"])))
+        probs = _parse_probs(out)
+        Z = float(re.search(r"Z = ([\d.e+-]+)", out).group(1))
+        tot = row.sum()
+        for k, pv in probs.items():
+            if k < len(row):
+                assert abs(row[k] - pv) <= 1e-9 * max(Z, 1e-300), (
+                    setting, k, row[k], pv
+                )
+        assert abs(tot - Z) / Z <= 1e-9, (setting, tot, Z)
