@@ -201,7 +201,7 @@ def sharded_conv_nd(mesh, a, b, out_shape):
     return out[: out_shape[0]]
 
 
-def halo_conv_nd(mesh, a, b, out_shape):
+def halo_conv_nd(mesh, a, b, out_shape, col_chunk=None):
     """Truncated n-D Cauchy product with *operand storage* sharded:
     ``a``, ``b`` and the output are all row-sharded over ``tp``, so an
     8-device mesh holds ~8x the coefficients of one device (SURVEY
@@ -243,20 +243,79 @@ def halo_conv_nd(mesh, a, b, out_shape):
     W = -(-a1 // tp)  # axis-1 chunk: bounds the cubic intermediate of
     # the local conv at (2B, W, b1, rest[1:]) ~ 2n^3/tp^2 per device
     tail = rest[1:]
+    # beyond-HBM orders: chunk BOTH operands' axis 1 (the P-pair
+    # decomposition of ops/blocked_conv.py routed through the mesh).
+    # The pair loop is a lax.fori_loop over uniform-shape slices, so
+    # XLA reuses ONE part buffer: per-device temp is
+    # (2B, col_chunk, col_chunk, rest[1:]) regardless of total order.
+    if col_chunk:
+        import numpy as _np
 
-    def local_conv(a_vis, b_loc):
-        full = jnp.zeros((2 * B - 1,) + rest, a_vis.dtype)
-        for t in range(tp):
-            lo = t * W
-            if lo >= a1 or lo >= c1:
-                break
-            hi = min(a1, lo + W)
-            wlen = min(hi - lo + b1 - 1, c1 - lo)
-            part = _conv_dense(
-                jnp, a_vis[:, lo:hi], b_loc, (2 * B - 1, wlen) + tail
+        Wa = min(max(W, 1), col_chunk)
+        Wb = min(b1, col_chunk)
+        na = -(-min(a1, c1) // Wa)
+        nbk = -(-b1 // Wb)
+        pair_offs = _np.asarray(
+            [
+                (ia * Wa, ib * Wb)
+                for ia in range(na)
+                for ib in range(nbk)
+                if ia * Wa + ib * Wb < c1
+            ],
+            dtype=_np.int32,
+        )
+        wpart = Wa + Wb - 1
+
+        def local_conv(a_vis, b_loc):
+            ap = jnp.zeros(
+                (a_vis.shape[0], na * Wa) + a_vis.shape[2:], a_vis.dtype
+            ).at[:, : min(a1, c1)].set(a_vis[:, : min(a1, c1)])
+            bp = jnp.zeros(
+                (b_loc.shape[0], nbk * Wb) + b_loc.shape[2:], b_loc.dtype
+            ).at[:, :b1].set(b_loc)
+            offs = jnp.asarray(pair_offs)
+            fullp = jnp.zeros(
+                (2 * B - 1, c1 + wpart) + tuple(rest[1:]), a_vis.dtype
             )
-            full = full.at[:, lo : lo + wlen].add(part)
-        return full
+
+            def body(i, fullp):
+                oa, ob = offs[i, 0], offs[i, 1]
+                z = jnp.zeros((), oa.dtype)
+                asl = jax.lax.dynamic_slice(
+                    ap, (z, oa) + (z,) * len(ap.shape[2:]),
+                    (ap.shape[0], Wa) + ap.shape[2:],
+                )
+                bsl = jax.lax.dynamic_slice(
+                    bp, (z, ob) + (z,) * len(bp.shape[2:]),
+                    (bp.shape[0], Wb) + bp.shape[2:],
+                )
+                part = _conv_dense(
+                    jnp, asl, bsl, (2 * B - 1, wpart) + tail
+                )
+                idx = (z, oa + ob) + (z,) * len(tail)
+                cur = jax.lax.dynamic_slice(
+                    fullp, idx, (2 * B - 1, wpart) + tail
+                )
+                return jax.lax.dynamic_update_slice(
+                    fullp, cur + part, idx
+                )
+
+            fullp = jax.lax.fori_loop(0, len(pair_offs), body, fullp)
+            return fullp[:, :c1]
+    else:
+        def local_conv(a_vis, b_loc):
+            full = jnp.zeros((2 * B - 1,) + rest, a_vis.dtype)
+            for t in range(tp):
+                lo = t * W
+                if lo >= a1 or lo >= c1:
+                    break
+                hi = min(a1, lo + W)
+                wlen = min(hi - lo + b1 - 1, c1 - lo)
+                part = _conv_dense(
+                    jnp, a_vis[:, lo:hi], b_loc, (2 * B - 1, wlen) + tail
+                )
+                full = full.at[:, lo : lo + wlen].add(part)
+            return full
 
     def kernel(a_loc, b_loc):
         r = jax.lax.axis_index("tp")
@@ -414,6 +473,10 @@ class ShardedF64Backend:
     CONV_SHARD_FLOPS = 4_000_000
     #: minimum independent lanes per device for the sharded solve
     MIN_LANES_PER_DEVICE = 8
+    #: column-chunk width of the in-kernel P-pair decomposition for
+    #: beyond-HBM orders (applied when out cols > 2x this)
+    HALO_COL_CHUNK = 512
+
     #: output rows from which the memory-scaled halo kernel replaces the
     #: replicated-operand kernel (the replicated Toeplitz intermediate is
     #: cubic; the halo kernel holds O(rows/tp) operand + O(n^3/tp^2) temp)
@@ -494,7 +557,13 @@ class ShardedF64Backend:
                     b2 = b.reshape(b.shape[0], -1)[:rows]
                     a2 = self._pad_to(a2, (rows, a2.shape[1]))
                     b2 = self._pad_to(b2, (rows, b2.shape[1]))
-                    out = halo_conv_2d(self.mesh, a2, b2, (rows, cols))
+                    # beyond-HBM orders: bound the per-device temp with
+                    # the in-kernel P-pair column decomposition
+                    cc = (self.HALO_COL_CHUNK
+                          if cols > 2 * self.HALO_COL_CHUNK else None)
+                    out = halo_conv_2d(
+                        self.mesh, a2, b2, (rows, cols), col_chunk=cc
+                    )
                     return out[: out_shape[0]].reshape(out_shape)
                 if (
                     tp > 1

@@ -416,6 +416,40 @@ def test_halo_conv_nd():
         np.testing.assert_allclose(got, want, rtol=1e-12)
 
 
+def test_halo_conv_col_chunked():
+    """The in-kernel P-pair column decomposition (blocked_conv routed
+    through the mesh): exact at every chunk width, and per-device temp
+    memory bounded by the chunk instead of the order (beyond-HBM
+    scaling; SURVEY 2.9 / aux order-scaling rows)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genfer_tpu.parallel.mesh import halo_conv_nd, make_mesh
+    from genfer_tpu.taylor.backend import NumpyF64Backend
+
+    nb = NumpyF64Backend()
+    mesh = make_mesh(8, dp=1)
+    rng = np.random.RandomState(9)
+    n = 128
+    a = rng.rand(n, n)
+    b = rng.rand(n, n)
+    want = nb.conv_trunc(a, b, (n, n))
+    for cc in (32, 48):
+        got = np.asarray(halo_conv_nd(mesh, a, b, (n, n), col_chunk=cc))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+    n = 512
+    aj = jnp.asarray(rng.rand(n, n))
+    bj = jnp.asarray(rng.rand(n, n))
+    mfull = (jax.jit(lambda a, b: halo_conv_nd(mesh, a, b, (n, n)))
+             .lower(aj, bj).compile().memory_analysis())
+    mchunk = (jax.jit(lambda a, b: halo_conv_nd(mesh, a, b, (n, n),
+                                                col_chunk=64))
+              .lower(aj, bj).compile().memory_analysis())
+    ratio = mfull.temp_size_in_bytes / max(mchunk.temp_size_in_bytes, 1)
+    assert ratio >= 4.0, f"chunked temp only {ratio:.1f}x smaller"
+
+
 def test_sharded_backend_halo_nd_route():
     """ShardedF64Backend routes big >=3-D convs through the memory-
     scaled halo kernel (rows >= halo_min_rows) and stays exact."""
