@@ -433,3 +433,53 @@ def test_random_program_scan_vs_bruteforce(seed):
         vf = float(v)
         got = float(masses[k]) if k < len(masses) else 0.0
         assert abs(got - vf) <= 1e-12 * max(vf, 1e-30), (k, got, vf, src)
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_cascade_vs_interpreter(seed):
+    """Random telescoping cascades (random discrete priors, Poisson
+    rate factors, observation counts, uneven Bernoulli chains, shuffled
+    assign values, multi-observe units) through the cascade scan
+    compiler vs the generic GF interpreter."""
+    import numpy as np
+
+    rng = np.random.RandomState(1000 + seed)
+    n_units = int(rng.randint(3, 8))
+    obs_per_unit = int(rng.randint(1, 3))
+    prior = rng.choice(["Geometric(0.4)", "Poisson(3)",
+                        "Geometric(0.25)"])
+    pivot_prior = rng.choice(["Geometric(0.3)", "Poisson(2)"])
+    f_num = int(rng.randint(1, 5))
+    units = []
+    for _ in range(n_units):
+        lines = [
+            f"observe {int(rng.poisson(2.0))} ~ "
+            f"Poisson({f_num}/4 * r);"
+            for _ in range(obs_per_unit)
+        ]
+        units.append(lines)
+    n_br = n_units + 1
+    vals = rng.permutation(n_br)
+    src = f"r ~ {prior};\n"
+    for k in range(n_br):
+        body = [ln for u in units[:k] for ln in u]
+        body.append(f"r ~ {pivot_prior};")
+        body += [ln for u in units[k:] for ln in u]
+        body.append(f"sp := {int(vals[k])};")
+        kw = "if" if k == 0 else "} else if"
+        src += f"{kw} 1 ~ Bernoulli(1 / {n_br - k}) {{\n"
+        src += "\n".join(body) + "\n"
+    src += "} else {}\nreturn sp;"
+    # the detector must fire (not silently fall back)
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import detect_cascade
+
+    form = detect_cascade(parse_program(src).stmts)
+    assert form is not None and form.n_units == n_units * obs_per_unit
+
+    z_s, p_s = _probs_of(_run_cli_text(src, "--compile-scan"))
+    z_i, p_i = _probs_of(_run_cli_text(src))
+    assert abs(z_s - z_i) / z_i < 1e-9
+    for k in sorted(set(p_s) & set(p_i)):
+        denom = max(abs(p_i[k]), z_i * 1e-12)
+        assert abs(p_s[k] - p_i[k]) / denom < 1e-8, (k, p_s[k], p_i[k])
