@@ -1265,7 +1265,8 @@ def _quad_grid(lo: float, hi: float, order: int):
 
 
 def _cascade_units_poisson(units) -> list:
-    """Extract (c_i, f_i, var) from `observe c ~ Poisson(f*v)` units."""
+    """Extract (c_i, f_i, var) from `observe c ~ Poisson(f*v)` units
+    (the quadrature-compatible fragment; continuous priors)."""
     out = []
     for st in units:
         ev = st.recognize_observe()
@@ -1277,6 +1278,35 @@ def _cascade_units_poisson(units) -> list:
         else:
             raise UnsupportedForScan(f"cascade unit observes {d}")
     return out
+
+
+def _cascade_unit_rows(units, n: int):
+    """(var, rows) for general var-dependent observation units on the
+    INTEGER grid 0..n-1: Poisson(f*v), Binomial(v, p) and
+    NegBinomial(v, p) likelihood rows (host f64, same builders as the
+    scan templates)."""
+    rows = []
+    var = None
+    for st in units:
+        ev = st.recognize_observe()
+        if not isinstance(ev, ast.DataFromDist):
+            raise UnsupportedForScan(f"cascade unit {st}")
+        d = ev.dist
+        c = int(ev.data)
+        if isinstance(d, ast.PoissonVarRate):
+            v, row = d.var, _obs_pois_rate_row(c, _ratio_f(d.rate), n)
+        elif isinstance(d, ast.BinomialVarTrials):
+            v, row = d.var, _obs_binom_trials_row(c, _ratio_f(d.p), n)
+        elif isinstance(d, ast.NegBinomialVarSuccesses):
+            v, row = d.var, _obs_negbinom_var_row(c, _ratio_f(d.p), n)
+        else:
+            raise UnsupportedForScan(f"cascade unit observes {d}")
+        if var is None:
+            var = v
+        elif v != var:
+            raise UnsupportedForScan("cascade units touch several vars")
+        rows.append(row)
+    return var, np.stack(rows)
 
 
 def _log_pois_rows(cs, fs, xs) -> np.ndarray:
@@ -1378,11 +1408,20 @@ class CascadeCompiled:
         self.rep = dataclasses.make_dataclass(
             "_R", ["n_iters"]
         )(n_iters=form.n_units)
-        units = _cascade_units_poisson(form.units)
-        uvars = {v for (_, _, v) in units}
-        if len(uvars) != 1:
-            raise UnsupportedForScan("cascade units touch several vars")
-        v = uvars.pop()
+        # continuous priors need the Poisson-rate fragment (analytic
+        # quadrature rows); integer grids take the general unit set
+        probe = [st for st in form.prologue if isinstance(st, ast.Sample)]
+        continuous = any(
+            isinstance(st.distribution, _CONT_DISTS) for st in probe
+        )
+        if continuous:
+            units = _cascade_units_poisson(form.units)
+            uvars = {v for (_, _, v) in units}
+            if len(uvars) != 1:
+                raise UnsupportedForScan("cascade units touch several vars")
+            v = uvars.pop()
+        else:
+            v, _pre_rows = _cascade_unit_rows(form.units, 2)
         pivot_d = [st for st in form.pivot if st.var == v]
         if len(pivot_d) != 1:
             raise UnsupportedForScan("pivot does not resample the unit var")
@@ -1393,20 +1432,20 @@ class CascadeCompiled:
         # (weight 1); they may not be the result or referenced elsewhere
         if program.result != form.assign_var:
             raise UnsupportedForScan("cascade result is not the switch var")
-        units_cf = [(c, f) for (c, f, _) in units]
+        if continuous:
+            units_cf = [(c, f) for (c, f, _) in units]
+        else:
+            units_cf = []
         xs0, w0 = _prior_grid(prior_out[-1].distribution, order, units_cf)
         xs1, h0 = _prior_grid(pivot_d[0].distribution, order, units_cf)
         if len(xs0) != len(xs1) or not np.array_equal(xs0, xs1):
             raise UnsupportedForScan("prior/pivot grids differ")
-        cs = [c for (c, _, _) in units]
-        fs = [f for (_, f, _) in units]
-        if isinstance(prior_out[-1].distribution, _CONT_DISTS):
+        if continuous:
+            cs = [c for (c, _, _) in units]
+            fs = [f for (_, f, _) in units]
             rows = _log_pois_rows(cs, fs, xs0)
         else:
-            n = len(xs0)
-            rows = np.stack(
-                [_obs_pois_rate_row(c, f, n) for c, f in zip(cs, fs)]
-            )
+            _, rows = _cascade_unit_rows(form.units, len(xs0))
         self._w0 = np.asarray(w0)
         self._h0 = np.asarray(h0)
         self._rows = np.asarray(rows)

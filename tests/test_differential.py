@@ -452,11 +452,24 @@ def test_random_cascade_vs_interpreter(seed):
     f_num = int(rng.randint(1, 5))
     units = []
     for _ in range(n_units):
-        lines = [
-            f"observe {int(rng.poisson(2.0))} ~ "
-            f"Poisson({f_num}/4 * r);"
-            for _ in range(obs_per_unit)
-        ]
+        lines = []
+        for _ in range(obs_per_unit):
+            kind = rng.choice(["pois", "binom", "negbinom"])
+            if kind == "pois":
+                lines.append(
+                    f"observe {int(rng.poisson(2.0))} ~ "
+                    f"Poisson({f_num}/4 * r);"
+                )
+            elif kind == "binom":
+                lines.append(
+                    f"observe {int(rng.randint(0, 3))} ~ "
+                    f"Binomial(r, 0.4);"
+                )
+            else:
+                lines.append(
+                    f"observe {int(rng.poisson(1.5))} ~ "
+                    f"NegBinomial(r, 0.6);"
+                )
         units.append(lines)
     n_br = n_units + 1
     vals = rng.permutation(n_br)
