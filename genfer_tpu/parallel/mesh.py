@@ -509,6 +509,7 @@ class ShardedF64Backend:
                 self.conv_shard_flops = shard_flops
                 self.min_lanes_per_device = min_lanes
                 self.shape_bucket = shape_bucket
+                self.HALO_COL_CHUNK = ShardedF64Backend.HALO_COL_CHUNK
 
             def _bucket(self, n: int) -> int:
                 # bucket to a coarse grid to bound shard_map compiles,
