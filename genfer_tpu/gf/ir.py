@@ -494,7 +494,9 @@ class GenFun:
         if cache.first_eval(self):
             for child in self.args:
                 cache.release(child)
-        if target != degree_p1:
+        if target.axes != degree_p1.axes:
+            # uni-only differences need no truncation (uni affects only
+            # composition depth, already baked into the arrays)
             result = _trunc_demand(result, degree_p1)
         return result
 
@@ -1008,7 +1010,7 @@ class _EvalCache:
         rec = per[1].get(_inputs_key(inputs))
         if rec is None or not rec[0].covers(degree_p1):
             return None
-        if rec[0] == degree_p1:
+        if rec[0].axes == degree_p1.axes:
             return rec[1]
         return _trunc_demand(rec[1], degree_p1)
 
