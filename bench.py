@@ -887,6 +887,51 @@ def bench_order_scaling(limits=(256, 512), orders=(256, 384, 512)):
     return results
 
 
+def _probe_device(timeout_s: float = 120.0) -> str:
+    """Verify the default accelerator actually completes a tiny program.
+
+    The axon TPU tunnel can die (worker watchdog crashes take minutes
+    to recover; a hard outage blocks forever) — in that state every
+    device call hangs, which would hang the whole bench run.  Probe in
+    a SUBPROCESS (an in-process probe thread would wedge jax's backend
+    init lock and deadlock the fallback); on failure, force the CPU
+    backend before this process ever touches jax, so the run still
+    produces an honest (clearly labeled) artifact instead of none."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)));"
+        "print(jax.devices()[0].platform)"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            text=True, timeout=timeout_s,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip().splitlines()[-1]
+        err = (r.stderr or "").strip().splitlines()
+        err = err[-1] if err else f"exit {r.returncode}"
+    except subprocess.TimeoutExpired:
+        err = f"no response in {timeout_s:.0f}s"
+    print(
+        f"bench: accelerator probe failed ({err}); falling back to the "
+        "CPU backend — device rows are NOT TPU numbers in this run",
+        file=sys.stderr,
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        import jax.extend.backend as jeb
+
+        jeb.clear_backends()
+    except Exception:  # noqa: BLE001
+        pass
+    return "cpu-fallback"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--order", type=int, default=512)
@@ -906,6 +951,7 @@ def main():
         args.scan = True
         args.highorder = True
 
+    device = _probe_device()
     gflops, dt = bench_kernel(order=args.order, ndim=args.ndim)
     print(
         f"conv_trunc order={args.order} ndim={args.ndim}: {dt*1e3:.3f} ms, "
@@ -996,7 +1042,9 @@ def main():
                 "metric": f"taylor-conv GFLOP/s @order {args.order} "
                 f"({args.ndim}-var, f64 1e-14-accurate; baseline = native "
                 f"C++ host kernel; opt-in pallas f32 mode is 12-41x "
-                f"further, see bench-results.json)",
+                f"further, see bench-results.json)"
+                + ("" if device != "cpu-fallback" else
+                   " [CPU FALLBACK: TPU tunnel was unreachable]"),
                 "value": round(gflops, 3),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(vs, 3),
