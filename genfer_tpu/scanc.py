@@ -1440,11 +1440,15 @@ class CascadeCompiled:
         xs1, h0 = _prior_grid(pivot_d[0].distribution, order, units_cf)
         if len(xs0) != len(xs1) or not np.array_equal(xs0, xs1):
             raise UnsupportedForScan("prior/pivot grids differ")
+        self._continuous = continuous
+        self._xs_grid = xs0
         if continuous:
             cs = [c for (c, _, _) in units]
             fs = [f for (_, f, _) in units]
+            self._unit_fs = fs
             rows = _log_pois_rows(cs, fs, xs0)
         else:
+            self._unit_fs = None
             _, rows = _cascade_unit_rows(form.units, len(xs0))
         self._w0 = np.asarray(w0)
         self._h0 = np.asarray(h0)
@@ -1471,6 +1475,37 @@ class CascadeCompiled:
             sums[i] = w.sum()
             es[i] = e
         return sums, es
+
+    def run_with_counts(self, counts):
+        """Serve a fresh dataset through the compiled cascade: ``counts``
+        replaces the per-unit observation values (same unit kinds/
+        factors); likelihood rows are rebuilt on the host (the only
+        data-dependent part) and the same factorized scans run."""
+        form = self.form
+        counts = [int(c) for c in counts]
+        if len(counts) != form.n_units:
+            raise ValueError(
+                f"expected {form.n_units} counts, got {len(counts)}"
+            )
+        if self._continuous:
+            fs = self._unit_fs
+            rows = _log_pois_rows(counts, fs, self._xs_grid)
+        else:
+            new_units = []
+            for st, c in zip(form.units, counts):
+                ev = st.recognize_observe()
+                new_units.append(
+                    ast.IfThenElse(
+                        ast.DataFromDist(c, ev.dist), (), (ast.Fail(),)
+                    )
+                )
+            _, rows = _cascade_unit_rows(new_units, len(self._w0))
+        saved = self._rows
+        try:
+            self._rows = np.asarray(rows)
+            return self.run()
+        finally:
+            self._rows = saved
 
     def run(self):
         form = self.form
