@@ -1280,27 +1280,55 @@ def _cascade_units_poisson(units) -> list:
     return out
 
 
+def _cascade_event_row(ev, n: int):
+    """(var, row) for a diagonal observation event on the integer grid
+    0..n-1 (DataFromDist of a var-dependent distribution, InSet,
+    Complement and Intersections thereof)."""
+    if isinstance(ev, ast.DataFromDist):
+        d = ev.dist
+        c = int(ev.data)
+        if isinstance(d, ast.PoissonVarRate):
+            return d.var, _obs_pois_rate_row(c, _ratio_f(d.rate), n)
+        if isinstance(d, ast.BinomialVarTrials):
+            return d.var, _obs_binom_trials_row(c, _ratio_f(d.p), n)
+        if isinstance(d, ast.NegBinomialVarSuccesses):
+            return d.var, _obs_negbinom_var_row(c, _ratio_f(d.p), n)
+        raise UnsupportedForScan(f"cascade unit observes {d}")
+    if isinstance(ev, ast.InSet):
+        row = np.zeros(n)
+        for x in ev.set:
+            if isinstance(x, Slot):
+                raise UnsupportedForScan("varying InSet member")
+            if 0 <= int(x) < n:
+                row[int(x)] = 1.0
+        return ev.var, row
+    if isinstance(ev, ast.Complement):
+        v, row = _cascade_event_row(ev.event, n)
+        return v, 1.0 - row
+    if isinstance(ev, ast.Intersection):
+        var, row = None, np.ones(n)
+        for e in ev.events:
+            v, r = _cascade_event_row(e, n)
+            if var is None:
+                var = v
+            elif v != var:
+                raise UnsupportedForScan("cascade event mixes vars")
+            row = row * r
+        if var is None:
+            raise UnsupportedForScan("empty cascade intersection")
+        return var, row
+    raise UnsupportedForScan(f"cascade unit event {ev}")
+
+
 def _cascade_unit_rows(units, n: int):
-    """(var, rows) for general var-dependent observation units on the
-    INTEGER grid 0..n-1: Poisson(f*v), Binomial(v, p) and
-    NegBinomial(v, p) likelihood rows (host f64, same builders as the
-    scan templates)."""
+    """(var, rows) for general diagonal observation units on the
+    INTEGER grid 0..n-1 (host f64, same builders as the scan
+    templates)."""
     rows = []
     var = None
     for st in units:
         ev = st.recognize_observe()
-        if not isinstance(ev, ast.DataFromDist):
-            raise UnsupportedForScan(f"cascade unit {st}")
-        d = ev.dist
-        c = int(ev.data)
-        if isinstance(d, ast.PoissonVarRate):
-            v, row = d.var, _obs_pois_rate_row(c, _ratio_f(d.rate), n)
-        elif isinstance(d, ast.BinomialVarTrials):
-            v, row = d.var, _obs_binom_trials_row(c, _ratio_f(d.p), n)
-        elif isinstance(d, ast.NegBinomialVarSuccesses):
-            v, row = d.var, _obs_negbinom_var_row(c, _ratio_f(d.p), n)
-        else:
-            raise UnsupportedForScan(f"cascade unit observes {d}")
+        v, row = _cascade_event_row(ev, n)
         if var is None:
             var = v
         elif v != var:

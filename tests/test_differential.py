@@ -454,7 +454,8 @@ def test_random_cascade_vs_interpreter(seed):
     for _ in range(n_units):
         lines = []
         for _ in range(obs_per_unit):
-            kind = rng.choice(["pois", "binom", "negbinom"])
+            kind = rng.choice(["pois", "binom", "negbinom", "inset",
+                               "notin"])
             if kind == "pois":
                 lines.append(
                     f"observe {int(rng.poisson(2.0))} ~ "
@@ -465,11 +466,21 @@ def test_random_cascade_vs_interpreter(seed):
                     f"observe {int(rng.randint(0, 3))} ~ "
                     f"Binomial(r, 0.4);"
                 )
-            else:
+            elif kind == "negbinom":
                 lines.append(
                     f"observe {int(rng.poisson(1.5))} ~ "
                     f"NegBinomial(r, 0.6);"
                 )
+            elif kind == "inset":
+                lo = int(rng.randint(0, 4))
+                members = ", ".join(
+                    str(x) for x in range(lo, lo + int(rng.randint(2, 6)))
+                )
+                lines.append(f"observe r in [{members}];")
+            else:
+                hi = int(rng.randint(1, 6))
+                members = ", ".join(str(x) for x in range(hi))
+                lines.append(f"observe r not in [{members}];")
         units.append(lines)
     n_br = n_units + 1
     vals = rng.permutation(n_br)
