@@ -984,7 +984,11 @@ def main():
         # must not erase other sections of the committed artifact
         import pathlib
 
-        path = pathlib.Path("bench-results.json")
+        # a CPU-fallback run must never clobber the committed TPU rows
+        path = pathlib.Path(
+            "bench-results.json" if device != "cpu-fallback"
+            else "bench-results-cpu-fallback.json"
+        )
         out = {}
         if path.exists():
             try:
@@ -999,8 +1003,10 @@ def main():
             ),
             **extra,
         })
+        if device == "cpu-fallback":
+            out["device"] = "cpu-fallback (TPU tunnel unreachable)"
         path.write_text(json.dumps(out, indent=2) + "\n")
-        print("updated bench-results.json", file=sys.stderr)
+        print(f"updated {path}", file=sys.stderr)
 
     extra = {}
     if args.pallas:
