@@ -453,6 +453,14 @@ class GenFun:
     # -- evaluation (reference: generating_function.rs:179-222, 548-765) -
     def eval(self, backend, inputs, degree_p1) -> TaylorPoly:
         d = Demand.of(degree_p1, len(inputs))
+        # the native C++ evaluator mirrors eval_with/_eval for the
+        # NumpyF64Backend (native/evaltape.cpp); it returns None when the
+        # DAG or a runtime case is outside its mirrored surface
+        from .nativeeval import try_native_eval
+
+        res = try_native_eval(self, backend, inputs, d)
+        if res is not None:
+            return res
         return self.eval_with(backend, list(inputs), d, _EvalCache(self, d))
 
     def eval_with(self, backend, inputs, degree_p1, cache) -> TaylorPoly:

@@ -46,6 +46,7 @@ def build_one(src: str, name: str, extra: list[str]) -> Path:
 
 def build() -> list[Path]:
     outs = [build_one("seriesops.cpp", "_seriesops", [])]
+    outs.append(build_one("evaltape.cpp", "_evaltape", ["-pthread"]))
     gmp, mpfr = Path(GMP), Path(MPFR)
     if gmp.exists() and mpfr.exists():
         outs.append(
