@@ -746,22 +746,16 @@ def bench_suite(num_runs=1):
             run_cli,
         )
 
-        # mixture's interpreter run needs ~20 minutes (it is golden-
-        # verified in the pytest suite); skipping it here keeps the
-        # bench artifact reproducible in one sitting
-        slow_skip = {"mixture": "~20 min interpreter run; golden-verified in pytest suite"}
+        # the native C++ evaluator (GENFER_NATIVE_EVAL, on by default)
+        # makes every approx model feasible in one sitting; mixture is
+        # additionally timed with the Python evaluator so the artifact
+        # records the native-tape speedup (outputs are bit-identical)
+        eval_compare = {"mixture"}
         for model_dir in sorted(p for p in approx.iterdir() if p.is_dir()):
             name = model_dir.name
             fp = model_dir / f"{name}.sgcl"
             exp = model_dir / f"{name}.expect"
             if not fp.exists() or not exp.exists():
-                continue
-            if name in slow_skip:
-                results[f"approx/{name}"] = {
-                    "fp": f"skipped: {slow_skip[name]}"
-                }
-                print(f"  approx/{name} [fp]: skipped "
-                      f"({slow_skip[name]})", file=sys.stderr)
                 continue
             flags = _first_line_flags(fp)
             if flags is None:  # marked `skip integration test`
@@ -774,6 +768,21 @@ def bench_suite(num_runs=1):
                                 name)
                 results[f"approx/{name}"] = {"fp": round(dt, 4)}
                 msg = f"{dt:.3f}s"
+                if name in eval_compare:
+                    os.environ["GENFER_NATIVE_EVAL"] = "0"
+                    try:
+                        t0 = time.perf_counter()
+                        out_py = run_cli(fp, flags)
+                        dt_py = time.perf_counter() - t0
+                        compare_outputs(
+                            out_py, exp.read_text(encoding="utf-8"), name
+                        )
+                        results[f"approx/{name}"]["fp_python_eval"] = round(
+                            dt_py, 4
+                        )
+                        msg += f" (python evaluator: {dt_py:.3f}s)"
+                    finally:
+                        os.environ.pop("GENFER_NATIVE_EVAL", None)
             except Exception as e:  # noqa: BLE001
                 results[f"approx/{name}"] = {"fp": f"FAILED {e}"}
                 msg = f"FAILED {e}"
