@@ -84,12 +84,16 @@ struct EvalStats {
     long long allocs = 0;
     long long evals = 0;
     long long kind_ns[20] = {0};
+    long long kind_excl_ns[20] = {0};  // self time: children subtracted
     long long kind_n[20] = {0};
     long long fused_ok = 0, fused_fail = 0;
     long long subst_at1 = 0, subst_diag = 0, subst_pascal = 0,
               subst_horner = 0, subst_generic = 0, subst_zero = 0;
 };
 thread_local EvalStats* g_stats = nullptr;
+// ns spent in child eval_node calls of the currently-running node
+// (exclusive-time attribution; see eval_node's stats path)
+thread_local long long g_child_ns = 0;
 
 BufPtr make_buf(i64 n) {
     if (g_stats) {
