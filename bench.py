@@ -232,6 +232,55 @@ def bench_pallas_batched(order=256, batch=32, iters=4):
             "tflops": round(tflops, 2)}
 
 
+def bench_pallas_batched_rhs(order=256, batch=32, iters=4):
+    """The shared-LHS Pallas MXU kernel (one operand against a batch of
+    RHS operands — the transposed serving layout): per-element latency
+    and throughput."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genfer_tpu.ops.pallas_conv2d import (conv2d_pallas,
+                                              conv2d_pallas_batched_rhs)
+
+    shape = (order, order)
+    rng = np.random.RandomState(int.from_bytes(os.urandom(4), "little"))
+    a = jnp.asarray(rng.rand(*shape).astype(np.float32))
+    b = jnp.asarray(rng.rand(batch, *shape).astype(np.float32))
+    got = np.asarray(conv2d_pallas_batched_rhs(a, b, shape))
+    single = np.asarray(conv2d_pallas(a, b[0], shape))
+    assert np.array_equal(got[0], single), "batched-rhs kernel diverged"
+
+    def step(carry, _):
+        x, y = carry
+        out = conv2d_pallas_batched_rhs(x, y, shape)
+        out = out / jnp.max(jnp.abs(out))
+        return (x, out), jnp.sum(out)
+
+    @jax.jit
+    def run(a, b):
+        _, sums = jax.lax.scan(step, (a, b), None, length=iters)
+        return sums
+
+    np.asarray(run(a, b))
+    t0 = time.perf_counter()
+    np.asarray(run(a, b))
+    dt = (time.perf_counter() - t0) / iters
+    flops = flops_conv_trunc(shape, shape) * batch
+    tflops = flops / dt / 1e12
+    print(
+        f"  pallas batched-rhs conv2d order={order} B={batch}: "
+        f"{dt*1e3:.2f} ms/batch, {dt*1e3/batch:.3f} ms/elem, "
+        f"{tflops:.2f} TFLOP/s",
+        file=sys.stderr,
+    )
+    return {"ms_batch": round(dt * 1e3, 3),
+            "ms_per_elem": round(dt * 1e3 / batch, 4),
+            "tflops": round(tflops, 2)}
+
+
 def bench_serving(batch=4096):
     """Batched posterior serving: the compiled scam-calls model
     (genfer_tpu.compile) over a parameter grid in one vmapped XLA
@@ -1026,6 +1075,12 @@ def main():
         extra["pallas_batched"] = {
             f"{order}x{batch}": bench_pallas_batched(order=order,
                                                      batch=batch)
+            for order, batch in ((256, 32), (512, 8))
+        }
+        save(extra)
+        extra["pallas_batched_rhs"] = {
+            f"{order}x{batch}": bench_pallas_batched_rhs(order=order,
+                                                         batch=batch)
             for order, batch in ((256, 32), (512, 8))
         }
         save(extra)

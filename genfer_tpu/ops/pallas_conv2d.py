@@ -257,6 +257,115 @@ def _build2d_batched(nb: int, a0: int, a1: int, b0: int, b1: int,
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=None)
+def _build2d_batched_rhs(nb: int, a0: int, a1: int, b0: int, b1: int,
+                         c0: int, c1: int, interpret: bool, highest: bool):
+    """Shared-LHS variant: one ``a`` operand convolved with a batch of
+    ``b`` operands (the transposed serving layout: a shared prior GF
+    against per-request observation polynomials).  The padded ``a`` is a
+    grid-invariant VMEM input staged once; the batch rides the leading
+    grid axis with one small ``b`` block per step."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c0t = pl.cdiv(c0, TILE)
+    c1t = pl.cdiv(c1, TILE)
+    c0p, c1p = c0t * TILE, c1t * TILE
+    a1p = _round_up(a1, TILE)
+    m_t = a1p // TILE
+    pt = _round_up(max(b0 - 1, 0), 8)
+    r0 = pt + c0p + 16
+    pb = TILE * m_t
+    c_b = pb + TILE * c1t + 2 * TILE
+    prec = (jax.lax.Precision.HIGHEST if highest
+            else jax.lax.Precision.DEFAULT)
+    m_hi = (b1 + TILE - 2) // TILE + 1
+
+    slab_h = TILE + 16
+
+    def kernel(a_ref, b_ref, o_ref, aw_ref):
+        i0t = pl.program_id(1).astype(jnp.int32)
+        i1t = pl.program_id(2).astype(jnp.int32)
+        k0 = i0t * jnp.int32(TILE)
+
+        def j0_body(j0, acc):
+            aw_start = k0 + jnp.int32(pt) - j0
+            off = jax.lax.rem(aw_start, jnp.int32(8))
+            slab = a_ref[pl.ds(pl.multiple_of(aw_start - off, 8), slab_h), :]
+            shift = jax.lax.rem(
+                jnp.int32(slab_h) - off, jnp.int32(slab_h)
+            )
+            aw_ref[:, :] = pltpu.roll(slab, shift, 0)[:TILE]
+
+            def t_body(t, acc):
+                col0 = (jnp.int32(pb)
+                        + (i1t - t - jnp.int32(1)) * jnp.int32(TILE))
+                w = b_ref[0, pl.ds(j0, 1), pl.ds(col0, 3 * TILE)]
+                w2 = jnp.broadcast_to(w, (TILE, 3 * TILE))
+                t128 = pltpu.roll(w2, jnp.int32(2 * TILE), 1, stride=1,
+                                  stride_axis=0)[:, :TILE]
+                at = aw_ref[:, pl.ds(t * TILE, TILE)]
+                return acc + jax.lax.dot(
+                    at, t128,
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
+
+            t_lo = jnp.maximum(jnp.int32(0), i1t + jnp.int32(1 - m_hi))
+            t_hi = jnp.minimum(jnp.int32(m_t), i1t + jnp.int32(1))
+            return jax.lax.fori_loop(t_lo, t_hi, t_body, acc)
+
+        nj = jnp.minimum(jnp.int32(b0), k0 + jnp.int32(TILE))
+        acc = jax.lax.fori_loop(
+            jnp.int32(0), nj, j0_body, jnp.zeros((TILE, TILE), jnp.float32)
+        )
+        o_ref[0, :, :] = acc
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb, c0t, c1t),
+        in_specs=[
+            pl.BlockSpec((r0, a1p), lambda g, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b0, c_b), lambda g, i, j: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, TILE), lambda g, i, j: (g, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, c0p, c1p), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE, a1p), jnp.float32)],
+        interpret=interpret,
+    )
+
+    def run(a, b):
+        ap = jnp.zeros((r0, a1p), jnp.float32)
+        ap = ap.at[pt : pt + min(a0, c0p), :a1].set(
+            a[: min(a0, c0p)].astype(jnp.float32)
+        )
+        bp = jnp.zeros((nb, b0, c_b), jnp.float32)
+        bp = bp.at[:, :, pb : pb + b1].set(b.astype(jnp.float32))
+        with jax.enable_x64(False):
+            out = call(ap, bp)
+        return out[:, :c0, :c1]
+
+    return jax.jit(run)
+
+
+def conv2d_pallas_batched_rhs(a, b_batch, out_shape, interpret: bool = False,
+                              highest: bool = True):
+    """Truncated 2-D Cauchy products of one shared ``a`` with a batch of
+    ``b`` operands, on the TPU MXU.  ``b_batch`` has shape (B, b0, b1);
+    returns (B, c0, c1)."""
+    c0, c1 = int(out_shape[0]), int(out_shape[1])
+    return _build2d_batched_rhs(
+        int(b_batch.shape[0]), int(a.shape[0]), int(a.shape[1]),
+        int(b_batch.shape[1]), int(b_batch.shape[2]),
+        c0, c1, interpret, highest,
+    )(a, b_batch)
+
+
 def conv2d_pallas_batched(a_batch, b, out_shape, interpret: bool = False,
                           highest: bool = True):
     """Truncated 2-D Cauchy products of a batch of ``a`` operands with a

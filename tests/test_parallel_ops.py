@@ -273,6 +273,32 @@ def test_pallas_conv2d_batched_interpret():
             np.testing.assert_allclose(got[g], want, rtol=5e-5, atol=1e-6)
 
 
+def test_pallas_conv2d_batched_rhs_interpret():
+    """The shared-LHS MXU kernel (one a, batch of b — the transposed
+    serving layout): every batch element must equal the host conv."""
+    import jax.numpy as jnp
+
+    from genfer_tpu.ops.pallas_conv2d import conv2d_pallas_batched_rhs
+    from genfer_tpu.taylor.backend import NumpyF64Backend
+
+    nb = NumpyF64Backend()
+    rng = np.random.RandomState(12)
+    for nbatch, sa, sb, out in [
+        (3, (5, 7), (4, 6), (8, 12)),
+        (4, (70, 80), (60, 50), (70, 80)),
+        (2, (130, 1), (1, 130), (130, 130)),
+    ]:
+        a = rng.rand(*sa)
+        b = rng.rand(nbatch, *sb)
+        got = np.asarray(
+            conv2d_pallas_batched_rhs(jnp.asarray(a), jnp.asarray(b), out,
+                                      interpret=True)
+        )
+        for g in range(nbatch):
+            want = nb.conv_trunc(a, b[g], out)
+            np.testing.assert_allclose(got[g], want, rtol=5e-5, atol=1e-6)
+
+
 def test_pallas_backend_interpret():
     """--backend pallas end to end (interpret mode): the backend keeps
     f64 host semantics and only the offloaded products are f32."""
