@@ -180,6 +180,60 @@ def bench_pallas_kernel(order=512, iters=8):
             "max_rel_err_vs_f64": rel}
 
 
+def bench_pallas_rowstrip(order=256, iters=8):
+    """A/B of the row-strip kernel against the (128,128)-tile kernel at
+    the same order (bit-identical results): the strip reuses the staged
+    ``a`` window across all output column tiles, attacking the per-tile
+    staging overhead that dominates below order ~512."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genfer_tpu.ops.pallas_conv2d import (conv2d_pallas,
+                                              conv2d_pallas_rowstrip)
+
+    shape = (order, order)
+    rng = np.random.RandomState(int.from_bytes(os.urandom(4), "little"))
+    a = jnp.asarray(rng.rand(*shape).astype(np.float32))
+    b = jnp.asarray(rng.rand(*shape).astype(np.float32))
+    strip = np.asarray(conv2d_pallas_rowstrip(a, b, shape))
+    tile = np.asarray(conv2d_pallas(a, b, shape))
+    assert np.array_equal(strip, tile), "rowstrip kernel diverged"
+
+    def timed(fn):
+        def step(carry, _):
+            x, y = carry
+            out = fn(x, y, shape)
+            out = out / jnp.max(jnp.abs(out))
+            return (out, x), jnp.sum(out)
+
+        @jax.jit
+        def run(a, b):
+            _, sums = jax.lax.scan(step, (a, b), None, length=iters)
+            return sums
+
+        np.asarray(run(a, b))
+        t0 = time.perf_counter()
+        np.asarray(run(a, b))
+        return (time.perf_counter() - t0) / iters
+
+    dt_strip = timed(conv2d_pallas_rowstrip)
+    dt_tile = timed(conv2d_pallas)
+    flops = flops_conv_trunc(shape, shape)
+    print(
+        f"  pallas rowstrip order={order}: {dt_strip*1e3:.2f} ms "
+        f"({flops/dt_strip/1e9:.0f} GFLOP/s) vs tile {dt_tile*1e3:.2f} ms "
+        f"({flops/dt_tile/1e9:.0f} GFLOP/s)",
+        file=sys.stderr,
+    )
+    return {"ms": round(dt_strip * 1e3, 3),
+            "gflops": round(flops / dt_strip / 1e9, 1),
+            "tile_ms": round(dt_tile * 1e3, 3),
+            "speedup_vs_tile": round(dt_tile / dt_strip, 2)}
+
+
 def bench_pallas_batched(order=256, batch=32, iters=4):
     """The batched-LHS Pallas MXU kernel (a batch of operands sharing
     one RHS): per-element latency and throughput.  The single-pair
@@ -1082,6 +1136,11 @@ def main():
             f"{order}x{batch}": bench_pallas_batched_rhs(order=order,
                                                          batch=batch)
             for order, batch in ((256, 32), (512, 8))
+        }
+        save(extra)
+        extra["pallas_rowstrip"] = {
+            order: bench_pallas_rowstrip(order=order)
+            for order in (256, 384, 512)
         }
         save(extra)
     if args.serving:

@@ -159,6 +159,126 @@ def _build2d(a0: int, a1: int, b0: int, b1: int, c0: int, c1: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _build2d_rowstrip(a0: int, a1: int, b0: int, b1: int, c0: int, c1: int,
+                      interpret: bool, highest: bool):
+    """Row-strip variant of the single-pair kernel: each grid program
+    computes one (128, c1) output strip instead of one (128, 128) tile.
+    The staged ``a`` window (the slab load + sublane rotation, the
+    dominant non-MXU work below order ~512) is then reused across every
+    output column tile, and each Toeplitz window T(j0, m) is built once
+    and fed to every column tile that consumes it — the (m, column-tile)
+    pairs are enumerated statically, so no dynamic output indexing is
+    needed (the per-tile accumulators are a python tuple)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c0t = pl.cdiv(c0, TILE)
+    c1t = pl.cdiv(c1, TILE)
+    c0p, c1p = c0t * TILE, c1t * TILE
+    a1p = _round_up(a1, TILE)
+    m_t = a1p // TILE
+    pt = _round_up(max(b0 - 1, 0), 8)
+    r0 = pt + c0p + 16
+    pb = TILE * m_t
+    c_b = pb + TILE * c1t + 2 * TILE
+    prec = (jax.lax.Precision.HIGHEST if highest
+            else jax.lax.Precision.DEFAULT)
+    m_hi = (b1 + TILE - 2) // TILE + 1
+
+    slab_h = TILE + 16
+
+    # static (m, ct) enumeration: output column tile ct consumes the
+    # Toeplitz window T(j0, m) through the aw column tile t = ct - m.
+    # m descends so each tile accumulates in t-ascending order —
+    # bit-identical to the (TILE, TILE) kernel's t-loop.
+    sites = []
+    for m in reversed(range(min(m_hi, c1t))):
+        uses = [ct for ct in range(c1t) if 0 <= ct - m < m_t]
+        if uses:
+            sites.append((m, tuple(uses)))
+
+    def kernel(a_ref, b_ref, o_ref, aw_ref):
+        i0t = pl.program_id(0).astype(jnp.int32)
+        k0 = i0t * jnp.int32(TILE)
+
+        def j0_body(j0, accs):
+            aw_start = k0 + jnp.int32(pt) - j0
+            off = jax.lax.rem(aw_start, jnp.int32(8))
+            slab = a_ref[pl.ds(pl.multiple_of(aw_start - off, 8), slab_h), :]
+            shift = jax.lax.rem(
+                jnp.int32(slab_h) - off, jnp.int32(slab_h)
+            )
+            aw_ref[:, :] = pltpu.roll(slab, shift, 0)[:TILE]
+            accs = list(accs)
+            for m, uses in sites:
+                col0 = jnp.int32(pb) + jnp.int32((m - 1) * TILE)
+                w = b_ref[pl.ds(j0, 1), pl.ds(col0, 3 * TILE)]
+                w2 = jnp.broadcast_to(w, (TILE, 3 * TILE))
+                t128 = pltpu.roll(w2, jnp.int32(2 * TILE), 1, stride=1,
+                                  stride_axis=0)[:, :TILE]
+                for ct in uses:
+                    t = ct - m
+                    at = aw_ref[:, pl.ds(t * TILE, TILE)]
+                    accs[ct] = accs[ct] + jax.lax.dot(
+                        at, t128,
+                        preferred_element_type=jnp.float32,
+                        precision=prec,
+                    )
+            return tuple(accs)
+
+        nj = jnp.minimum(jnp.int32(b0), k0 + jnp.int32(TILE))
+        zero = jnp.zeros((TILE, TILE), jnp.float32)
+        accs = jax.lax.fori_loop(
+            jnp.int32(0), nj, j0_body, (zero,) * c1t
+        )
+        for ct in range(c1t):
+            o_ref[:, ct * TILE : (ct + 1) * TILE] = accs[ct]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(c0t,),
+        in_specs=[
+            pl.BlockSpec((r0, a1p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b0, c_b), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, c1p), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c0p, c1p), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE, a1p), jnp.float32)],
+        interpret=interpret,
+    )
+
+    def run(a, b):
+        ap = jnp.zeros((r0, a1p), jnp.float32)
+        ap = ap.at[pt : pt + min(a0, c0p), :a1].set(
+            a[: min(a0, c0p)].astype(jnp.float32)
+        )
+        bp = jnp.zeros((b0, c_b), jnp.float32)
+        bp = bp.at[:, pb : pb + b1].set(b.astype(jnp.float32))
+        with jax.enable_x64(False):
+            out = call(ap, bp)
+        return out[:c0, :c1]
+
+    return jax.jit(run)
+
+
+def conv2d_pallas_rowstrip(a, b, out_shape, interpret: bool = False,
+                           highest: bool = True):
+    """Row-strip single-pair kernel (A/B candidate for small orders —
+    see _build2d_rowstrip)."""
+    c0, c1 = int(out_shape[0]), int(out_shape[1])
+    return _build2d_rowstrip(
+        int(a.shape[0]), int(a.shape[1]),
+        int(b.shape[0]), int(b.shape[1]),
+        c0, c1, interpret, highest,
+    )(a, b)
+
+
+@functools.lru_cache(maxsize=None)
 def _build2d_batched(nb: int, a0: int, a1: int, b0: int, b1: int,
                      c0: int, c1: int, interpret: bool, highest: bool):
     """Batched-LHS variant: a batch of ``a`` operands convolved with one

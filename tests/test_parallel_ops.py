@@ -273,6 +273,36 @@ def test_pallas_conv2d_batched_interpret():
             np.testing.assert_allclose(got[g], want, rtol=5e-5, atol=1e-6)
 
 
+def test_pallas_conv2d_rowstrip_interpret():
+    """The row-strip kernel must be bit-identical to the (128,128)-tile
+    kernel (same per-tile MXU pass order) and match the host conv."""
+    import jax.numpy as jnp
+
+    from genfer_tpu.ops.pallas_conv2d import (conv2d_pallas,
+                                              conv2d_pallas_rowstrip)
+    from genfer_tpu.taylor.backend import NumpyF64Backend
+
+    nb = NumpyF64Backend()
+    rng = np.random.RandomState(13)
+    for sa, sb, out in [
+        ((5, 7), (4, 6), (8, 12)),
+        ((70, 80), (60, 50), (70, 80)),
+        ((200, 300), (150, 100), (280, 380)),
+    ]:
+        a, b = rng.rand(*sa), rng.rand(*sb)
+        got = np.asarray(
+            conv2d_pallas_rowstrip(jnp.asarray(a), jnp.asarray(b), out,
+                                   interpret=True)
+        )
+        tile = np.asarray(
+            conv2d_pallas(jnp.asarray(a), jnp.asarray(b), out,
+                          interpret=True)
+        )
+        np.testing.assert_array_equal(got, tile)
+        want = nb.conv_trunc(a, b, out)
+        np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-6)
+
+
 def test_pallas_conv2d_batched_rhs_interpret():
     """The shared-LHS MXU kernel (one a, batch of b — the transposed
     serving layout): every batch element must equal the host conv."""
