@@ -1320,21 +1320,18 @@ def _cascade_event_row(ev, n: int):
     raise UnsupportedForScan(f"cascade unit event {ev}")
 
 
-def _cascade_unit_rows(units, n: int):
-    """(var, rows) for general diagonal observation units on the
+def _cascade_unit_rows_multi(units, n: int):
+    """(vars, rows) for general diagonal observation units on the
     INTEGER grid 0..n-1 (host f64, same builders as the scan
-    templates)."""
-    rows = []
-    var = None
+    templates).  Units may touch SEVERAL variables — each unit is
+    diagonal in exactly one var; ``vars[i]`` is unit i's variable."""
+    rows, unit_vars = [], []
     for st in units:
         ev = st.recognize_observe()
         v, row = _cascade_event_row(ev, n)
-        if var is None:
-            var = v
-        elif v != var:
-            raise UnsupportedForScan("cascade units touch several vars")
+        unit_vars.append(v)
         rows.append(row)
-    return var, np.stack(rows)
+    return unit_vars, np.stack(rows)
 
 
 def _log_pois_rows(cs, fs, xs) -> np.ndarray:
@@ -1442,46 +1439,85 @@ class CascadeCompiled:
         continuous = any(
             isinstance(st.distribution, _CONT_DISTS) for st in probe
         )
+        if program.result != form.assign_var:
+            raise UnsupportedForScan("cascade result is not the switch var")
+        pivot_by_var = {}
+        for st in form.pivot:
+            if st.var in pivot_by_var:
+                raise UnsupportedForScan("pivot resamples a var twice")
+            pivot_by_var[st.var] = st
+        # units may touch several prologue variables; each unit is
+        # diagonal in one var, and with independent priors the branch
+        # weight factorizes per var:
+        #   weight(s) = q_s * prod_{v pivot-resampled} fwd_v(s)*bwd_v(s)
+        #                   * prod_{v not resampled}   (full product)
+        # (a var the pivot never refreshes contributes the same factor
+        # whether its units sit in the prefix or the suffix).  Groups
+        # hold per-var grids, prior/pivot mass rows and unit indices.
+        self._continuous = continuous
+        self._groups = []  # dicts: idxs, w0, h0 (None = static), rows
+        self._qs = np.asarray([float(q) for q in form.qs])
         if continuous:
             units = _cascade_units_poisson(form.units)
             uvars = {v for (_, _, v) in units}
             if len(uvars) != 1:
-                raise UnsupportedForScan("cascade units touch several vars")
+                raise UnsupportedForScan(
+                    "continuous cascade units touch several vars"
+                )
             v = uvars.pop()
-        else:
-            v, _pre_rows = _cascade_unit_rows(form.units, 2)
-        pivot_d = [st for st in form.pivot if st.var == v]
-        if len(pivot_d) != 1:
-            raise UnsupportedForScan("pivot does not resample the unit var")
-        prior_out = [st for st in form.prologue if st.var == v]
-        if not prior_out:
-            raise UnsupportedForScan("no outer prior for the unit var")
-        # other prologue/pivot samples are independent normalized factors
-        # (weight 1); they may not be the result or referenced elsewhere
-        if program.result != form.assign_var:
-            raise UnsupportedForScan("cascade result is not the switch var")
-        if continuous:
+            pivot_d = pivot_by_var.get(v)
+            if pivot_d is None:
+                raise UnsupportedForScan(
+                    "pivot does not resample the unit var"
+                )
+            prior_out = [st for st in form.prologue if st.var == v]
+            if not prior_out:
+                raise UnsupportedForScan("no outer prior for the unit var")
             units_cf = [(c, f) for (c, f, _) in units]
-        else:
-            units_cf = []
-        xs0, w0 = _prior_grid(prior_out[-1].distribution, order, units_cf)
-        xs1, h0 = _prior_grid(pivot_d[0].distribution, order, units_cf)
-        if len(xs0) != len(xs1) or not np.array_equal(xs0, xs1):
-            raise UnsupportedForScan("prior/pivot grids differ")
-        self._continuous = continuous
-        self._xs_grid = xs0
-        if continuous:
+            xs0, w0 = _prior_grid(prior_out[-1].distribution, order,
+                                  units_cf)
+            xs1, h0 = _prior_grid(pivot_d.distribution, order, units_cf)
+            if len(xs0) != len(xs1) or not np.array_equal(xs0, xs1):
+                raise UnsupportedForScan("prior/pivot grids differ")
             cs = [c for (c, _, _) in units]
             fs = [f for (_, f, _) in units]
             self._unit_fs = fs
-            rows = _log_pois_rows(cs, fs, xs0)
-        else:
-            self._unit_fs = None
-            _, rows = _cascade_unit_rows(form.units, len(xs0))
-        self._w0 = np.asarray(w0)
-        self._h0 = np.asarray(h0)
-        self._rows = np.asarray(rows)
-        self._qs = np.asarray([float(q) for q in form.qs])
+            self._xs_grid = xs0
+            self._groups.append({
+                "idxs": list(range(form.n_units)),
+                "w0": np.asarray(w0),
+                "h0": np.asarray(h0),
+                "rows": np.asarray(_log_pois_rows(cs, fs, xs0)),
+            })
+            return
+        self._unit_fs = None
+        self._xs_grid = None
+        unit_vars, _ = _cascade_unit_rows_multi(form.units, 2)
+        uvars = list(dict.fromkeys(unit_vars))
+        evs = [st.recognize_observe() for st in form.units]
+        for v in uvars:
+            prior_out = [st for st in form.prologue if st.var == v]
+            if not prior_out:
+                raise UnsupportedForScan("no outer prior for a unit var")
+            if prior_out[-1].distribution.used_vars() != 0:
+                raise UnsupportedForScan(
+                    "unit-var prior depends on another var"
+                )
+            xs0, w0 = _prior_grid(prior_out[-1].distribution, order, [])
+            piv = pivot_by_var.get(v)
+            h0 = None
+            if piv is not None:
+                xs1, h0 = _prior_grid(piv.distribution, order, [])
+                if len(xs0) != len(xs1) or not np.array_equal(xs0, xs1):
+                    raise UnsupportedForScan("prior/pivot grids differ")
+                h0 = np.asarray(h0)
+            idxs = [i for i, uv in enumerate(unit_vars) if uv == v]
+            rows = np.stack(
+                [_cascade_event_row(evs[i], len(xs0))[1] for i in idxs]
+            )
+            self._groups.append({
+                "idxs": idxs, "w0": np.asarray(w0), "h0": h0, "rows": rows,
+            })
 
     @staticmethod
     def _cumscan(w0: np.ndarray, rows: np.ndarray):
@@ -1515,39 +1551,62 @@ class CascadeCompiled:
             raise ValueError(
                 f"expected {form.n_units} counts, got {len(counts)}"
             )
-        if self._continuous:
-            fs = self._unit_fs
-            rows = _log_pois_rows(counts, fs, self._xs_grid)
-        else:
-            new_units = []
-            for st, c in zip(form.units, counts):
-                ev = st.recognize_observe()
-                new_units.append(
-                    ast.IfThenElse(
-                        ast.DataFromDist(c, ev.dist), (), (ast.Fail(),)
-                    )
-                )
-            _, rows = _cascade_unit_rows(new_units, len(self._w0))
-        saved = self._rows
+        saved = [g["rows"] for g in self._groups]
         try:
-            self._rows = np.asarray(rows)
+            if self._continuous:
+                g = self._groups[0]
+                g["rows"] = np.asarray(
+                    _log_pois_rows(counts, self._unit_fs, self._xs_grid)
+                )
+            else:
+                for g in self._groups:
+                    new_rows = []
+                    for i in g["idxs"]:
+                        ev = form.units[i].recognize_observe()
+                        _, row = _cascade_event_row(
+                            ast.DataFromDist(counts[i], ev.dist),
+                            len(g["w0"]),
+                        )
+                        new_rows.append(row)
+                    g["rows"] = np.stack(new_rows)
             return self.run()
         finally:
-            self._rows = saved
+            for g, r in zip(self._groups, saved):
+                g["rows"] = r
 
     def run(self):
         form = self.form
-        fsums, fes = self._cumscan(self._w0, self._rows)
-        a = np.concatenate([[self._w0.sum()], fsums])
-        ae = np.concatenate([[0.0], fes])
-        bsums, bes = self._cumscan(self._h0, self._rows[::-1])
-        b = np.concatenate([[self._h0.sum()], bsums])[::-1]
-        be = np.concatenate([[0.0], bes])[::-1]
-        pls = np.asarray(form.prefix_lens, dtype=np.int64)
+        n_br = len(form.prefix_lens)
         # branch k: P_k prefix units at the outer draw, suffix units
-        # P_k+1..n at the pivot draw
-        mant = self._qs * a[pls] * b[pls]
-        ee = ae[pls] + be[pls]
+        # P_k+1..n at the pivot draw; per var-group the split index is
+        # the number of that group's units among the first P_k
+        mant = self._qs.copy()
+        ee = np.zeros(n_br)
+        for g in self._groups:
+            rows = g["rows"]
+            if g["h0"] is None:
+                # never resampled: the same full product in every branch
+                if len(rows):
+                    sums, es = self._cumscan(g["w0"], rows)
+                    mant = mant * sums[-1]
+                    ee += es[-1]
+                else:
+                    mant = mant * g["w0"].sum()
+                continue
+            fsums, fes = self._cumscan(g["w0"], rows)
+            a = np.concatenate([[g["w0"].sum()], fsums])
+            ae = np.concatenate([[0.0], fes])
+            bsums, bes = self._cumscan(g["h0"], rows[::-1])
+            b = np.concatenate([[g["h0"].sum()], bsums])[::-1]
+            be = np.concatenate([[0.0], bes])[::-1]
+            idxs = g["idxs"]
+            cnt = np.asarray(
+                [sum(1 for i in idxs if i < P) for P in form.prefix_lens],
+                dtype=np.int64,
+            )
+            mant = mant * a[cnt]
+            mant = mant * b[cnt]
+            ee += ae[cnt] + be[cnt]
         live = mant != 0
         mmax = float(ee[live].max()) if live.any() else 0.0
         wts = mant * np.exp2(ee - mmax) * 2.0 ** mmax

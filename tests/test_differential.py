@@ -507,3 +507,64 @@ def test_random_cascade_vs_interpreter(seed):
     for k in sorted(set(p_s) & set(p_i)):
         denom = max(abs(p_i[k]), z_i * 1e-12)
         assert abs(p_s[k] - p_i[k]) / denom < 1e-8, (k, p_s[k], p_i[k])
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_multivar_cascade_vs_interpreter(seed):
+    """Multi-variable telescoping cascades: units spread over several
+    independent prologue priors; the pivot refreshes a random subset of
+    them.  Pivot-refreshed vars telescope (forward/backward scans),
+    never-refreshed vars must factor out of every branch weight as one
+    constant product."""
+    import numpy as np
+
+    rng = np.random.RandomState(7000 + seed)
+    priors = {"r": "Geometric(0.4)", "s": "Poisson(2)",
+              "t": "Geometric(0.3)"}
+    vars_used = ["r", "s"] + (["t"] if rng.rand() < 0.5 else [])
+    # pivot refreshes a random non-empty subset of the used vars
+    n_piv = int(rng.randint(1, len(vars_used) + 1))
+    pivot_vars = list(rng.choice(vars_used, size=n_piv, replace=False))
+    n_units = int(rng.randint(3, 7))
+    unit_lines = []
+    for _ in range(n_units):
+        v = vars_used[int(rng.randint(len(vars_used)))]
+        kind = rng.choice(["pois", "binom", "inset"])
+        if kind == "pois":
+            unit_lines.append(
+                f"observe {int(rng.poisson(2.0))} ~ Poisson(1/2 * {v});"
+            )
+        elif kind == "binom":
+            unit_lines.append(
+                f"observe {int(rng.randint(0, 3))} ~ Binomial({v}, 0.4);"
+            )
+        else:
+            lo = int(rng.randint(0, 3))
+            members = ", ".join(
+                str(x) for x in range(lo, lo + int(rng.randint(2, 6)))
+            )
+            unit_lines.append(f"observe {v} in [{members}];")
+    n_br = n_units + 1
+    vals = rng.permutation(n_br)
+    src = "".join(f"{v} ~ {priors[v]};\n" for v in vars_used)
+    pivot = "".join(f"{v} ~ {priors[v]};\n" for v in pivot_vars)
+    for k in range(n_br):
+        body = "".join(ln + "\n" for ln in unit_lines[:k])
+        body += pivot
+        body += "".join(ln + "\n" for ln in unit_lines[k:])
+        body += f"sp := {int(vals[k])};\n"
+        kw = "if" if k == 0 else "} else if"
+        src += f"{kw} 1 ~ Bernoulli(1 / {n_br - k}) {{\n{body}"
+    src += "} else {}\nreturn sp;"
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import detect_cascade
+
+    form = detect_cascade(parse_program(src).stmts)
+    assert form is not None and form.n_units == n_units
+
+    z_s, p_s = _probs_of(_run_cli_text(src, "--compile-scan"))
+    z_i, p_i = _probs_of(_run_cli_text(src))
+    assert abs(z_s - z_i) / z_i < 1e-9
+    for k in sorted(set(p_s) & set(p_i)):
+        denom = max(abs(p_i[k]), z_i * 1e-12)
+        assert abs(p_s[k] - p_i[k]) / denom < 1e-8, (k, p_s[k], p_i[k])

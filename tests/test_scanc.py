@@ -458,3 +458,51 @@ def test_cascade_serving_fresh_counts():
     # the committed dataset still reproduces the original result
     m1, Z1 = obj.run_with_counts(units)
     np.testing.assert_allclose(m1, m0, rtol=1e-12)
+
+
+def test_cascade_multivar_serving_fresh_counts():
+    """Multi-variable cascade serving: units on a pivot-refreshed var
+    (telescoping group) and on a never-refreshed var (static factor
+    group), rerun with fresh observation counts."""
+    import numpy as np
+
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import CascadeCompiled, compile_scan_program
+
+    # unit i targets r (refreshed by the pivot) for even i, s for odd i
+    def src_for(cs):
+        n = len(cs)
+
+        def unit(i, c):
+            v = "r" if i % 2 == 0 else "s"
+            return f"observe {c} ~ Poisson(0.5 * {v});"
+
+        out = "r ~ Geometric(0.3);\ns ~ Poisson(2);\n"
+        for k in range(n + 1):
+            body = [unit(i, c) for i, c in enumerate(cs[:k])]
+            body.append("r ~ Geometric(0.3);")
+            body += [unit(k + i, c) for i, c in enumerate(cs[k:])]
+            body.append(f"sp := {k};")
+            kw = "if" if k == 0 else "} else if"
+            out += f"{kw} 1 ~ Bernoulli(1 / {n + 1 - k}) {{\n"
+            out += "\n".join(body) + "\n"
+        out += "} else {}\nreturn sp;"
+        return out
+
+    units = [2, 0, 3, 1, 4, 2]
+    prog = parse_program(src_for(units))
+    obj, (m0, Z0) = compile_scan_program(prog, order=64)
+    assert isinstance(obj, CascadeCompiled)
+    kinds = {(g["h0"] is None) for g in obj._groups}
+    assert kinds == {True, False}, "expected one static + one scan group"
+    fresh = [1, 2, 0, 4, 3, 1]
+    masses, Z = obj.run_with_counts(fresh)
+    out = _cli(src_for(fresh))
+    probs = _parse_probs(out)
+    Zi = float(re.search(r"Z = ([\d.e+-]+)", out).group(1))
+    assert abs(Z - Zi) / Zi <= 1e-9
+    for k, pv in probs.items():
+        if k < len(masses):
+            assert abs(masses[k] - pv) <= 1e-9 * Zi
+    m1, _ = obj.run_with_counts(units)
+    np.testing.assert_allclose(m1, m0, rtol=1e-12)
