@@ -1320,6 +1320,37 @@ def _cascade_event_row(ev, n: int):
     raise UnsupportedForScan(f"cascade unit event {ev}")
 
 
+def _cascade_pair_vars(ev):
+    """(v1, v2) when the event is a two-variable comparison (possibly
+    complemented), else None."""
+    if isinstance(ev, ast.Complement):
+        return _cascade_pair_vars(ev.event)
+    if isinstance(ev, ast.VarComparison) and ev.v1 != ev.v2:
+        return ev.v1, ev.v2
+    return None
+
+
+def _cascade_pair_row(ev, vlo: int, nlo: int, nhi: int) -> np.ndarray:
+    """(nlo, nhi) indicator of a two-variable comparison event on the
+    integer grids of (vlo, vhi) with vlo < vhi."""
+    if isinstance(ev, ast.Complement):
+        return 1.0 - _cascade_pair_row(ev.event, vlo, nlo, nhi)
+    if not isinstance(ev, ast.VarComparison):
+        raise UnsupportedForScan(f"cascade pair event {ev}")
+    n1, n2 = (nlo, nhi) if ev.v1 == vlo else (nhi, nlo)
+    a = np.arange(n1)[:, None]
+    b = np.arange(n2)[None, :]
+    if ev.comp == ast.Comparison.EQ:
+        ind = (a == b).astype(np.float64)
+    elif ev.comp == ast.Comparison.LT:
+        ind = (a < b).astype(np.float64)
+    elif ev.comp == ast.Comparison.LE:
+        ind = (a <= b).astype(np.float64)
+    else:
+        raise UnsupportedForScan(f"comparison {ev.comp}")
+    return ind if ev.v1 == vlo else ind.T
+
+
 def _cascade_unit_rows_multi(units, n: int):
     """(vars, rows) for general diagonal observation units on the
     INTEGER grid 0..n-1 (host f64, same builders as the scan
@@ -1492,10 +1523,37 @@ class CascadeCompiled:
             return
         self._unit_fs = None
         self._xs_grid = None
-        unit_vars, _ = _cascade_unit_rows_multi(form.units, 2)
-        uvars = list(dict.fromkeys(unit_vars))
         evs = [st.recognize_observe() for st in form.units]
-        for v in uvars:
+        # classify units: single-var diagonal or two-var comparison.
+        # Comparison units couple their two variables into one group
+        # (a var may be compared against at most one partner).
+        pair_of = {}
+        unit_tag = []  # ("single", v) | ("pair", (vlo, vhi))
+        for ev in evs:
+            pv = _cascade_pair_vars(ev)
+            if pv is not None:
+                vlo, vhi = min(pv), max(pv)
+                for x, y in ((vlo, vhi), (vhi, vlo)):
+                    if pair_of.setdefault(x, y) != y:
+                        raise UnsupportedForScan(
+                            "a variable is compared against two others"
+                        )
+                unit_tag.append(("pair", (vlo, vhi)))
+            else:
+                v, _ = _cascade_event_row(ev, 2)
+                unit_tag.append(("single", v))
+
+        def comp_key(tag):
+            kind, p = tag
+            if kind == "single":
+                if p in pair_of:
+                    return (min(p, pair_of[p]), max(p, pair_of[p]))
+                return (p,)
+            return p
+
+        comps = list(dict.fromkeys(comp_key(t) for t in unit_tag))
+
+        def prior_for(v):
             prior_out = [st for st in form.prologue if st.var == v]
             if not prior_out:
                 raise UnsupportedForScan("no outer prior for a unit var")
@@ -1504,20 +1562,115 @@ class CascadeCompiled:
                     "unit-var prior depends on another var"
                 )
             xs0, w0 = _prior_grid(prior_out[-1].distribution, order, [])
+            return len(xs0), np.asarray(w0)
+
+        def pivot_grid(v, n_expected):
             piv = pivot_by_var.get(v)
-            h0 = None
-            if piv is not None:
-                xs1, h0 = _prior_grid(piv.distribution, order, [])
-                if len(xs0) != len(xs1) or not np.array_equal(xs0, xs1):
-                    raise UnsupportedForScan("prior/pivot grids differ")
-                h0 = np.asarray(h0)
-            idxs = [i for i, uv in enumerate(unit_vars) if uv == v]
-            rows = np.stack(
-                [_cascade_event_row(evs[i], len(xs0))[1] for i in idxs]
-            )
-            self._groups.append({
-                "idxs": idxs, "w0": np.asarray(w0), "h0": h0, "rows": rows,
-            })
+            if piv is None:
+                return None
+            xs1, h0 = _prior_grid(piv.distribution, order, [])
+            if len(xs1) != n_expected:
+                raise UnsupportedForScan("prior/pivot grids differ")
+            return np.asarray(h0)
+
+        def single_rebuild(ev, n, wrap):
+            """fn(count) -> row in the group's storage format: serving
+            replaces the observation value of DataFromDist units; event
+            units (set membership, comparisons) keep their row."""
+            if isinstance(ev, ast.DataFromDist):
+                return lambda c: wrap(_cascade_event_row(
+                    ast.DataFromDist(int(c), ev.dist), n)[1])
+            fixed = wrap(_cascade_event_row(ev, n)[1])
+            return lambda c: fixed
+
+        for comp in comps:
+            idxs = [i for i, t in enumerate(unit_tag)
+                    if comp_key(t) == comp]
+            if len(comp) == 1:
+                v = comp[0]
+                n, w0 = prior_for(v)
+                h0 = pivot_grid(v, n)
+                reb = [single_rebuild(evs[i], n, lambda r: r)
+                       for i in idxs]
+                rows = np.stack(
+                    [_cascade_event_row(evs[i], n)[1] for i in idxs]
+                )
+                self._groups.append({
+                    "idxs": idxs, "w0": w0, "h0": h0, "rows": rows,
+                    "rebuild": reb,
+                })
+                continue
+            vlo, vhi = comp
+            nlo, wl = prior_for(vlo)
+            nhi, wh = prior_for(vhi)
+            hlo = pivot_grid(vlo, nlo)
+            hhi = pivot_grid(vhi, nhi)
+            both = hlo is not None and hhi is not None
+            neither = hlo is None and hhi is None
+            # matrix layout: (vlo grid, vhi grid), re-oriented to
+            # (refreshed, spectator) in the one-refreshed case
+            flip = not (both or neither) and hlo is None
+
+            def as_mat(i, flip=flip):
+                kind, p = unit_tag[i]
+                if kind == "pair":
+                    m = _cascade_pair_row(evs[i], vlo, nlo, nhi)
+                    return m.T if flip else m
+
+                def wrap(row, v=p, flip=flip):
+                    m = (np.broadcast_to(row[:, None], (nlo, nhi))
+                         if v == vlo else
+                         np.broadcast_to(row[None, :], (nlo, nhi)))
+                    return (m.T if flip else m).copy()
+
+                return wrap(_cascade_event_row(
+                    evs[i], nlo if p == vlo else nhi)[1])
+
+            def mat_rebuild(i, flip=flip):
+                kind, p = unit_tag[i]
+                if kind == "pair" or not isinstance(
+                        evs[i], ast.DataFromDist):
+                    fixed = as_mat(i)
+                    return lambda c: fixed
+                n = nlo if p == vlo else nhi
+                axis_lo = p == vlo
+
+                def build(c, n=n, axis_lo=axis_lo, ev=evs[i], flip=flip):
+                    row = _cascade_event_row(
+                        ast.DataFromDist(int(c), ev.dist), n)[1]
+                    m = (np.broadcast_to(row[:, None], (nlo, nhi))
+                         if axis_lo else
+                         np.broadcast_to(row[None, :], (nlo, nhi)))
+                    return (m.T if flip else m).copy()
+
+                return build
+
+            mats = [as_mat(i) for i in idxs]
+            reb = [mat_rebuild(i) for i in idxs]
+            if both or neither:
+                # both refreshed: the pair is one pseudo-variable on the
+                # ravelled joint grid (standard telescoping); neither:
+                # one static joint factor
+                self._groups.append({
+                    "idxs": idxs,
+                    "w0": np.outer(wl, wh).ravel(),
+                    "h0": (np.outer(hlo, hhi).ravel() if both else None),
+                    "rows": np.stack([m.ravel() for m in mats]),
+                    "rebuild": [
+                        (lambda c, f=f: f(c).ravel()) for f in reb
+                    ],
+                })
+            else:
+                # exactly one refreshed: coupled-spectator vector scans —
+                # the spectator axis survives the per-step sums and is
+                # contracted against its prior at branch-weight time
+                w0, h0, wspec = (
+                    (wl, hlo, wh) if hlo is not None else (wh, hhi, wl)
+                )
+                self._groups.append({
+                    "idxs": idxs, "w0": w0, "h0": h0, "wspec": wspec,
+                    "rows": np.stack(mats), "rebuild": reb,
+                })
 
     @staticmethod
     def _cumscan(w0: np.ndarray, rows: np.ndarray):
@@ -1540,6 +1693,27 @@ class CascadeCompiled:
             es[i] = e
         return sums, es
 
+    @staticmethod
+    def _cumscan_vec(W0: np.ndarray, rows: np.ndarray):
+        """Like :meth:`_cumscan` but the carry is a (refreshed-var,
+        spectator-var) matrix and only the refreshed axis is summed —
+        the per-step results are spectator-indexed vectors."""
+        n = rows.shape[0]
+        sums = np.empty((n, W0.shape[1]))
+        es = np.empty(n)
+        W = W0.copy()
+        e = 0.0
+        for i in range(n):
+            W *= rows[i]
+            m = W.max()
+            if m > 0:
+                ee = float(np.floor(np.log2(m)))
+                W *= 2.0 ** -ee
+                e += ee
+            sums[i] = W.sum(axis=0)
+            es[i] = e
+        return sums, es
+
     def run_with_counts(self, counts):
         """Serve a fresh dataset through the compiled cascade: ``counts``
         replaces the per-unit observation values (same unit kinds/
@@ -1559,16 +1733,14 @@ class CascadeCompiled:
                     _log_pois_rows(counts, self._unit_fs, self._xs_grid)
                 )
             else:
+                # DataFromDist units take the fresh observation value;
+                # event units (set membership, comparisons) have no
+                # observation value and keep their row
                 for g in self._groups:
-                    new_rows = []
-                    for i in g["idxs"]:
-                        ev = form.units[i].recognize_observe()
-                        _, row = _cascade_event_row(
-                            ast.DataFromDist(counts[i], ev.dist),
-                            len(g["w0"]),
-                        )
-                        new_rows.append(row)
-                    g["rows"] = np.stack(new_rows)
+                    g["rows"] = np.stack([
+                        fn(counts[i])
+                        for fn, i in zip(g["rebuild"], g["idxs"])
+                    ])
             return self.run()
         finally:
             for g, r in zip(self._groups, saved):
@@ -1584,6 +1756,38 @@ class CascadeCompiled:
         ee = np.zeros(n_br)
         for g in self._groups:
             rows = g["rows"]
+            if rows.ndim == 3:
+                # coupled pair, one var refreshed: vector scans over the
+                # (refreshed, spectator) matrices, spectator contracted
+                # against its prior per branch
+                nspec = rows.shape[2]
+                W0 = np.broadcast_to(
+                    g["w0"][:, None], rows.shape[1:]
+                ).copy()
+                fsums, fes = self._cumscan_vec(W0, rows)
+                a = np.concatenate(
+                    [[np.full(nspec, g["w0"].sum())], fsums]
+                )
+                ae = np.concatenate([[0.0], fes])
+                H0 = np.broadcast_to(
+                    g["h0"][:, None], rows.shape[1:]
+                ).copy()
+                bsums, bes = self._cumscan_vec(H0, rows[::-1])
+                b = np.concatenate(
+                    [[np.full(nspec, g["h0"].sum())], bsums]
+                )[::-1]
+                be = np.concatenate([[0.0], bes])[::-1]
+                idxs = g["idxs"]
+                cnt = np.asarray(
+                    [sum(1 for i in idxs if i < P)
+                     for P in form.prefix_lens],
+                    dtype=np.int64,
+                )
+                mant = mant * np.asarray([
+                    float((g["wspec"] * a[c] * b[c]).sum()) for c in cnt
+                ])
+                ee += ae[cnt] + be[cnt]
+                continue
             if g["h0"] is None:
                 # never resampled: the same full product in every branch
                 if len(rows):

@@ -568,3 +568,136 @@ def test_random_multivar_cascade_vs_interpreter(seed):
     for k in sorted(set(p_s) & set(p_i)):
         denom = max(abs(p_i[k]), z_i * 1e-12)
         assert abs(p_s[k] - p_i[k]) / denom < 1e-8, (k, p_s[k], p_i[k])
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_comparison_cascade_vs_interpreter(seed):
+    """Cascades with two-variable comparison units (`observe r <= s`
+    etc.): the comparison couples its vars into one group — telescoping
+    on the joint grid when both are pivot-refreshed, coupled-spectator
+    vector scans when only one is.  Finite-support priors so the
+    interpreter (which panics on infinite-support comparisons, matching
+    the reference) can serve as the oracle."""
+    import numpy as np
+
+    rng = np.random.RandomState(9000 + seed)
+    refresh_both = bool(rng.rand() < 0.5)
+    comp = rng.choice(["<", "<=", "="])
+    n_units = int(rng.randint(3, 6))
+    unit_lines = []
+    for i in range(n_units):
+        kind = rng.choice(["cmp", "pois_r", "binom_s", "inset_r"])
+        if kind == "cmp" or i == 0:  # ensure at least one comparison
+            a, b = ("r", "s") if rng.rand() < 0.5 else ("s", "r")
+            unit_lines.append(f"observe {a} {comp} {b};")
+        elif kind == "pois_r":
+            unit_lines.append(
+                f"observe {int(rng.poisson(1.5))} ~ Poisson(1/2 * r);"
+            )
+        elif kind == "binom_s":
+            unit_lines.append(
+                f"observe {int(rng.randint(0, 3))} ~ Binomial(s, 0.4);"
+            )
+        else:
+            lo = int(rng.randint(0, 3))
+            members = ", ".join(
+                str(x) for x in range(lo, lo + int(rng.randint(2, 5)))
+            )
+            unit_lines.append(f"observe r in [{members}];")
+    pivot = "r ~ Binomial(7, 0.45);\n"
+    if refresh_both:
+        pivot += "s ~ UniformDisc(0, 6);\n"
+    n_br = n_units + 1
+    vals = rng.permutation(n_br)
+    src = "r ~ Binomial(7, 0.45);\ns ~ UniformDisc(0, 6);\n"
+    for k in range(n_br):
+        body = "".join(ln + "\n" for ln in unit_lines[:k]) + pivot
+        body += "".join(ln + "\n" for ln in unit_lines[k:])
+        body += f"sp := {int(vals[k])};\n"
+        kw = "if" if k == 0 else "} else if"
+        src += f"{kw} 1 ~ Bernoulli(1 / {n_br - k}) {{\n{body}"
+    src += "} else {}\nreturn sp;"
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import detect_cascade
+
+    form = detect_cascade(parse_program(src).stmts)
+    assert form is not None and form.n_units == n_units
+
+    z_s, p_s = _probs_of(_run_cli_text(src, "--compile-scan"))
+    z_i, p_i = _probs_of(_run_cli_text(src))
+    assert abs(z_s - z_i) / z_i < 1e-9
+    for k in sorted(set(p_s) & set(p_i)):
+        denom = max(abs(p_i[k]), z_i * 1e-12)
+        assert abs(p_s[k] - p_i[k]) / denom < 1e-8, (k, p_s[k], p_i[k])
+
+
+def test_comparison_cascade_infinite_support_vs_bruteforce():
+    """Beyond-reference capability: a cascade whose comparison units
+    couple two INFINITE-support priors (the reference and our
+    interpreter both refuse infinite-support comparisons).  Oracle: a
+    truncated exact enumeration at a tail cutoff far past the compiled
+    grid."""
+    import math
+
+    import numpy as np
+
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import CascadeCompiled, compile_scan_program
+
+    n_units, p_geom, lam = 4, 0.4, 2.0
+    units = [("cmp",), ("pois", 2), ("cmp",), ("pois", 1)]
+
+    def unit_src(u):
+        return ("observe r <= s;" if u[0] == "cmp"
+                else f"observe {u[1]} ~ Poisson(1/2 * r);")
+
+    src = f"r ~ Geometric({p_geom});\ns ~ Poisson(2);\n"
+    for k in range(n_units + 1):
+        body = "".join(unit_src(u) + "\n" for u in units[:k])
+        body += f"r ~ Geometric({p_geom});\n"
+        body += "".join(unit_src(u) + "\n" for u in units[k:])
+        body += f"sp := {k};\n"
+        kw = "if" if k == 0 else "} else if"
+        src += f"{kw} 1 ~ Bernoulli(1 / {n_units + 1 - k}) {{\n{body}"
+    src += "} else {}\nreturn sp;"
+    obj, (masses, Z) = compile_scan_program(parse_program(src), order=64)
+    assert isinstance(obj, CascadeCompiled)
+    assert any(g["rows"].ndim == 3 for g in obj._groups)
+
+    # truncated exact enumeration (cutoff 400: geometric/poisson tails
+    # are < 1e-80 there)
+    N = 400
+    geom = (1 - p_geom) ** np.arange(N) * p_geom
+    pois = np.asarray([
+        math.exp(i * math.log(lam) - lam - math.lgamma(i + 1))
+        for i in range(N)
+    ])
+
+    def urow(u, x):
+        if u[0] == "cmp":
+            return (x[:, None] <= np.arange(N)[None, :]).astype(float)
+        c, f = u[1], 0.5
+        lamx = f * x
+        with np.errstate(divide="ignore"):
+            lg = np.where(lamx > 0, np.log(np.where(lamx > 0, lamx, 1)),
+                          -np.inf)
+            row = np.exp(c * lg - lamx - math.lgamma(c + 1))
+        return np.nan_to_num(row)[:, None] * np.ones((1, N))
+
+    x = np.arange(N, dtype=float)
+    expected = np.zeros(n_units + 1)
+    q_rest = 1.0
+    for k in range(n_units + 1):
+        q = q_rest / (n_units + 1 - k)
+        q_rest -= q
+        fwd = geom[:, None] * np.ones((1, N))
+        for u in units[:k]:
+            fwd = fwd * urow(u, x)
+        bwd = geom[:, None] * np.ones((1, N))
+        for u in units[k:]:
+            bwd = bwd * urow(u, x)
+        expected[k] = q * float(
+            (pois * fwd.sum(axis=0) * bwd.sum(axis=0)).sum()
+        )
+    np.testing.assert_allclose(masses, expected, rtol=1e-9)
+    assert abs(Z - expected.sum()) / expected.sum() < 1e-9
