@@ -1121,49 +1121,49 @@ def main():
         print(f"updated {path}", file=sys.stderr)
 
     extra = {}
-    if args.pallas:
-        extra["pallas_kernel"] = {
-            order: bench_pallas_kernel(order=order) for order in (256, 512)
-        }
+
+    def section(key, fn):
+        # one crashed section (e.g. a Pallas kernel on the CPU-fallback
+        # backend, or a mid-run TPU worker watchdog crash) must not
+        # abort the rest of the artifact run
+        try:
+            extra[key] = fn()
+        except Exception as e:  # noqa: BLE001 - record and continue
+            print(f"bench section {key} FAILED: {e!r}", file=sys.stderr)
+            extra[key] = f"FAILED: {e!r}"
         save(extra)
-        extra["pallas_batched"] = {
+
+    if args.pallas:
+        section("pallas_kernel", lambda: {
+            order: bench_pallas_kernel(order=order) for order in (256, 512)
+        })
+        section("pallas_batched", lambda: {
             f"{order}x{batch}": bench_pallas_batched(order=order,
                                                      batch=batch)
             for order, batch in ((256, 32), (512, 8))
-        }
-        save(extra)
-        extra["pallas_batched_rhs"] = {
+        })
+        section("pallas_batched_rhs", lambda: {
             f"{order}x{batch}": bench_pallas_batched_rhs(order=order,
                                                          batch=batch)
             for order, batch in ((256, 32), (512, 8))
-        }
-        save(extra)
-        extra["pallas_rowstrip"] = {
+        })
+        section("pallas_rowstrip", lambda: {
             order: bench_pallas_rowstrip(order=order)
             for order in (256, 384, 512)
-        }
-        save(extra)
+        })
     if args.serving:
-        extra["serving"] = bench_serving()
-        save(extra)
-        extra["generic_serving"] = bench_generic_serving()
-        save(extra)
+        section("serving", bench_serving)
+        section("generic_serving", bench_generic_serving)
     if args.scan:
-        extra["population_scan"] = bench_population_scan()
-        save(extra)
-        extra["cascade_switchpoint"] = bench_cascade_switchpoint()
-        save(extra)
-        extra["nested_enumeration"] = bench_nested()
-        save(extra)
+        section("population_scan", bench_population_scan)
+        section("cascade_switchpoint", bench_cascade_switchpoint)
+        section("nested_enumeration", bench_nested)
     if args.highorder:
-        extra["highorder_conv"] = bench_highorder()
-        save(extra)
+        section("highorder_conv", bench_highorder)
     if args.suite:
-        extra["suite"] = bench_suite()
-        save(extra)
+        section("suite", bench_suite)
     if args.scaling:
-        extra["scaling"] = bench_order_scaling()
-        save(extra)
+        section("scaling", bench_order_scaling)
     vs = gflops / host_gflops if host_gflops else gflops
     print(
         json.dumps(
