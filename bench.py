@@ -715,7 +715,11 @@ def bench_nested(k=63):
     the given variable (k+1 slices, gf.rs:589-634); the mass-semantics
     compiled path renormalizes all slices in one vectorized pass.
     Correctness is pinned in tests/test_scanc.py; this records the
-    measured times on the same program."""
+    measured times on the same program.  The native evaluation tape
+    later made the interpreter ~13x faster on this benchmark, so the
+    vectorized pass no longer wins the standalone host comparison
+    (speedup_steady < 1 is expected and honest — see
+    docs/mass_semantics.md)."""
     import io
     import tempfile
     import time
