@@ -10,6 +10,7 @@ output matches their goldens at <=1e-12.
 import io
 import os
 import re
+import sys
 import tempfile
 from contextlib import redirect_stdout
 from pathlib import Path
@@ -506,3 +507,64 @@ def test_cascade_multivar_serving_fresh_counts():
             assert abs(masses[k] - pv) <= 1e-9 * Zi
     m1, _ = obj.run_with_counts(units)
     np.testing.assert_allclose(m1, m0, rtol=1e-12)
+
+
+def test_scan_compiler_corpus_coverage():
+    """Corpus-wide generality pin: every golden program in the mass-
+    semantics fragment must compile (no silent shrinkage of the
+    fragment) and reproduce its committed golden Z / unnormalized
+    masses.  Programs outside the fragment (continuous supports except
+    cascade quadrature, While loops) must fall back with
+    UnsupportedForScan — never crash."""
+    import os
+    import re as _re
+    from pathlib import Path
+
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import UnsupportedForScan, compile_scan
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from test_golden import CASES, _first_line_flags
+
+    # flag modes whose goldens print non-f64 values, and heavyweight
+    # compiles (golden-verified via --compile-scan elsewhere)
+    skip_flags = ("--rational", "-r", "-s", "--precision", "-p",
+                  "--bounds", "-b")
+    heavy = {"mixture.sgcl", "hmm.sgcl", "switchpoint.sgcl",
+             "two_populations.sgcl", "population.sgcl",
+             "population_modified.sgcl", "digitRecognition.sgcl"}
+    compiled = fallbacks = 0
+    for sgcl in CASES:
+        if sgcl.name in heavy:
+            continue
+        flags = _first_line_flags(sgcl)
+        if flags is None or any(f in flags for f in skip_flags):
+            continue
+        prog = parse_program(sgcl.read_text(encoding="utf-8"))
+        try:
+            masses, Z, _ = compile_scan(prog, order=64)
+        except UnsupportedForScan:
+            fallbacks += 1
+            continue
+        compiled += 1
+        exp = sgcl.with_suffix(".expect").read_text(encoding="utf-8")
+        mz = _re.search(r"Total measure:\s+Z = ([0-9.eE+-]+)\s", exp)
+        if mz:
+            z_exp = float(mz.group(1))
+            assert abs(Z - z_exp) <= max(1e-8 * abs(z_exp), 1e-14), (
+                sgcl, Z, z_exp
+            )
+        for k, v in _re.findall(
+            r"Unnormalized: p\((\d+)\)\s*= ([0-9.eE+-]+)", exp
+        ):
+            k, v = int(k), float(v)
+            if k < len(masses):
+                assert abs(masses[k] - v) <= max(1e-8 * abs(v), 1e-12), (
+                    sgcl, k, masses[k], v
+                )
+    # fragment-size pin: the compiler covered 68 of these programs when
+    # this test was written (95 of the full 122-file corpus; the rest
+    # are flag-skipped or in the heavy set above) — a real regression
+    # shows up as a big drop
+    assert compiled >= 65, f"only {compiled} corpus programs compiled"
+    assert fallbacks <= 35, f"{fallbacks} fallbacks — fragment shrank?"
