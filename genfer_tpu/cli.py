@@ -328,7 +328,7 @@ def _try_scan_path(program, args) -> bool:
     inference_start = time.perf_counter()
     _enable_x64()
     try:
-        masses, Z, _ = compile_scan(program, order=args.scan_order)
+        masses, Z, scan_obj = compile_scan(program, order=args.scan_order)
     except UnsupportedForScan as e:
         print(f"(scan compilation unavailable: {e}; "
               "falling back to the interpreter)", file=sys.stderr)
@@ -342,7 +342,12 @@ def _try_scan_path(program, args) -> bool:
     var_info = SupportTransformer(unroll=args.unroll).semantics(program)
     rest_info = VarSupport.empty(var_info.num_vars())
     IV = Interval.over(F64)
-    ns = np.arange(len(masses), dtype=np.float64)
+    # continuous results carry their quadrature node values; integer
+    # grids use the implicit arange (the printer skips probabilities
+    # for continuous supports, mirroring the reference)
+    vals = getattr(scan_obj, "result_vals", None)
+    ns = (np.asarray(vals, dtype=np.float64) if vals is not None
+          else np.arange(len(masses), dtype=np.float64))
 
     def moments_fn(limit):
         moms = [

@@ -373,13 +373,193 @@ def _const_dist_pmf(dist, c: int) -> float:
 _FINITE_CAP = 4096
 
 
-def grid_sizes(program: ast.Program, order: int) -> list:
-    """Per-variable axis sizes: the running join of each variable's
-    support across every statement (finite bounds kept exact, infinite
-    supports truncated at ``order``)."""
+class _ContGrid:
+    """Value grid of a continuous variable: quadrature nodes + weights
+    (``dirac`` grids are finite value sets with unit weights)."""
+
+    __slots__ = ("xs", "gw", "dirac")
+
+    def __init__(self, xs, gw, dirac=False):
+        self.xs = np.asarray(xs, dtype=np.float64)
+        self.gw = np.asarray(gw, dtype=np.float64)
+        self.dirac = dirac
+
+
+def _collect_samples(stmts, out, copies=None):
+    for s in stmts:
+        if isinstance(s, ast.Sample):
+            out.setdefault(s.var, []).append(s)
+        elif copies is not None and _is_copy_assign(s):
+            copies.setdefault(s.var, set()).add(s.addend[1])
+        elif isinstance(s, ast.IfThenElse):
+            _collect_samples(s.then, out, copies)
+            _collect_samples(s.els, out, copies)
+        elif isinstance(s, ast.Normalize):
+            _collect_samples(s.stmts, out, copies)
+        elif isinstance(s, ast.While):
+            _collect_samples(s.body, out, copies)
+
+
+def _is_copy_assign(s) -> bool:
+    """``v := w`` exactly (a value copy: factor 1, offset 0, no
+    previous-value add) — the one assignment form that is grid-exact on
+    continuous value grids (the target aliases the source's grid)."""
+    return (isinstance(s, ast.Assign) and not s.add_previous_value
+            and s.addend is not None and s.addend[0] == 1
+            and not isinstance(s.offset, Slot) and s.offset == 0)
+
+
+def _static_ratio_f(r) -> float:
+    if isinstance(r, Slot):
+        raise UnsupportedForScan("varying continuous-grid parameter")
+    return _ratio_f(r)
+
+
+def _cont_domain(dist):
+    """Static (lo, hi) quadrature domain of a continuous prior (the
+    half-infinite tail bound matches the cascade quadrature's
+    _prior_grid)."""
+    import math
+
+    if isinstance(dist, ast.UniformCont):
+        return _static_ratio_f(dist.start), _static_ratio_f(dist.end)
+    if isinstance(dist, ast.Exponential):
+        b = _static_ratio_f(dist.rate)
+        return 0.0, (1.0 + 40.0 * math.sqrt(2.0) + 120.0) / b
+    if isinstance(dist, ast.Gamma):
+        a = _static_ratio_f(dist.shape)
+        b = _static_ratio_f(dist.rate)
+        if a < 1.0:
+            # the pdf is singular at 0 (x^{a-1}): fixed-panel quadrature
+            # converges to a plateau that can FOOL the grid-doubling
+            # check (measured: Gamma(0.25, 0.1) sat at Z=0.9307 across
+            # three doublings) — reject, the interpreter handles it
+            raise UnsupportedForScan(
+                "Gamma shape < 1 (singular pdf) on a quadrature grid"
+            )
+        return 0.0, (a + 40.0 * math.sqrt(a + 1.0) + 120.0) / b
+    raise UnsupportedForScan(f"continuous grid for {dist}")
+
+
+def _uniform_cont_mass(lo, hi, xs, gw):
+    wid = max(hi - lo, 1e-300)
+    return np.where((xs >= lo) & (xs <= hi), 1.0 / wid, 0.0) * gw
+
+
+def _gamma_mass(a, b, xs, gw):
+    """pdf(Gamma(a, b)) * quadrature weight, stable at x = 0."""
+    import math
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        logpdf = np.where(
+            xs > 0,
+            a * math.log(b)
+            + (a - 1.0) * np.log(np.where(xs > 0, xs, 1.0))
+            - b * xs - math.lgamma(a),
+            (math.log(b) if a == 1.0 else -np.inf),
+        )
+        pdf = np.exp(logpdf)
+    return np.nan_to_num(pdf, nan=0.0, posinf=0.0) * gw
+
+
+def _pois_obs_vals(c: int, lams: np.ndarray) -> np.ndarray:
+    """Poisson(c; lam) elementwise over an array of rates (host f64,
+    stable for lam = 0)."""
+    import math
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if c == 0:
+            row = np.exp(-lams)
+        else:
+            lg = np.where(lams > 0,
+                          np.log(np.where(lams > 0, lams, 1.0)), -np.inf)
+            row = np.exp(c * lg - lams - math.lgamma(c + 1))
+    return np.nan_to_num(row, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def _stmt_reads(s) -> set:
+    reads = set()
+    if isinstance(s, ast.Sample):
+        d = s.distribution
+        if hasattr(d, "var"):
+            reads.add(d.var)
+        if s.add_previous_value:
+            reads.add(s.var)
+    elif isinstance(s, ast.Assign):
+        if s.addend is not None:
+            reads.add(s.addend[1])
+        if s.add_previous_value:
+            reads.add(s.var)
+    elif isinstance(s, ast.Decrement):
+        reads.add(s.var)
+    return reads
+
+
+def _event_reads(ev) -> set:
+    if isinstance(ev, ast.InSet):
+        return {ev.var}
+    if isinstance(ev, ast.VarComparison):
+        return {ev.v1, ev.v2}
+    if isinstance(ev, ast.DataFromDist):
+        d = ev.dist
+        return {d.var} if hasattr(d, "var") else set()
+    if isinstance(ev, ast.Complement):
+        return _event_reads(ev.event)
+    if isinstance(ev, ast.Intersection):
+        out = set()
+        for e in ev.events:
+            out |= _event_reads(e)
+        return out
+    return set()
+
+
+def _check_cont_sampled_first(stmts, cont_vars: set, sampled: set) -> set:
+    """The initial joint mass sits at grid INDEX 0, whose node value is
+    not 0 on a quadrature grid — so a continuous variable may only be
+    read after it has been sampled on every path."""
+    for s in stmts:
+        if isinstance(s, ast.IfThenElse):
+            bad = (_event_reads(s.cond) & cont_vars) - sampled
+            if bad:
+                raise UnsupportedForScan(
+                    "continuous var read before its first sample"
+                )
+            a = _check_cont_sampled_first(s.then, cont_vars, set(sampled))
+            b = _check_cont_sampled_first(s.els, cont_vars, set(sampled))
+            sampled = a & b
+            continue
+        if isinstance(s, ast.Normalize):
+            sampled = _check_cont_sampled_first(
+                s.stmts, cont_vars, sampled
+            )
+            continue
+        bad = (_stmt_reads(s) & cont_vars) - sampled
+        if bad:
+            raise UnsupportedForScan(
+                "continuous var read before its first sample"
+            )
+        if isinstance(s, ast.Sample) and not s.add_previous_value:
+            sampled.add(s.var)
+        elif _is_copy_assign(s):
+            sampled.add(s.var)
+    return sampled
+
+
+def grid_sizes(program: ast.Program, order: int):
+    """Per-variable axis sizes plus the continuous value grids.
+
+    Discrete variables get integer grids (the running support join,
+    finite bounds kept exact, infinite supports truncated at ``order``).
+    A variable whose support ever goes non-discrete gets a quadrature
+    grid over the hull of its sampling distributions' domains
+    (composite Gauss-Legendre — exact for the polynomial likelihoods of
+    the beta-bernoulli family, fast-converging for analytic ones);
+    fractional Dirac supports become finite value-set grids.  Returns
+    ``(sizes, cont)`` with ``cont`` mapping var -> _ContGrid."""
     nv = program.used_vars()
     bound = [1] * nv
     infinite = [False] * nv
+    is_cont = [False] * nv
 
     class _Absorb(SupportTransformer):
         def transform_statement(self, stmt, init):
@@ -389,9 +569,8 @@ def grid_sizes(program: ast.Program, order: int) -> list:
                 if s.is_empty():
                     continue
                 if not s.is_discrete():
-                    raise UnsupportedForScan(
-                        f"continuous support for {ast.var_name(v)}"
-                    )
+                    is_cont[v] = True
+                    continue
                 rng = s.finite_nonempty_range()
                 if rng is None:
                     infinite[v] = True
@@ -403,9 +582,61 @@ def grid_sizes(program: ast.Program, order: int) -> list:
         _Absorb(unroll=8).semantics(program)
     except AssertionError as e:  # e.g. widening failure on loops
         raise UnsupportedForScan(str(e))
+    cont = {}
+    if any(is_cont):
+        samples: dict = {}
+        copies: dict = {}
+        _collect_samples(program.stmts, samples, copies)
+        # a copy-assigned continuous var aliases its sources' grid:
+        # fold the sources' sample statements in (iterate: copies of
+        # copies)
+        for _ in range(nv):
+            changed = False
+            for v, srcs in copies.items():
+                if not is_cont[v]:
+                    continue
+                cur = samples.setdefault(v, [])
+                for w in srcs:
+                    for s in samples.get(w, []):
+                        if s not in cur:
+                            cur.append(s)
+                            changed = True
+            if not changed:
+                break
+        for v in range(nv):
+            if not is_cont[v]:
+                continue
+            ss = samples.get(v)
+            if not ss:
+                raise UnsupportedForScan(
+                    f"continuous {ast.var_name(v)} never sampled directly"
+                )
+            if any(s.add_previous_value for s in ss):
+                raise UnsupportedForScan(
+                    "additive sample on a continuous var"
+                )
+            dists = [s.distribution for s in ss]
+            if all(isinstance(d, ast.Dirac) for d in dists):
+                vals = sorted({_static_ratio_f(d.a) for d in dists})
+                cont[v] = _ContGrid(vals, np.ones(len(vals)), dirac=True)
+                continue
+            if any(isinstance(d, ast.Dirac) for d in dists):
+                raise UnsupportedForScan(
+                    "mixed Dirac/continuous sampling of one var"
+                )
+            lo = hi = None
+            for d in dists:
+                dl, dh = _cont_domain(d)
+                lo = dl if lo is None else min(lo, dl)
+                hi = dh if hi is None else max(hi, dh)
+            xs, gw = _quad_grid(lo, hi, order)
+            cont[v] = _ContGrid(xs, gw)
+        _check_cont_sampled_first(program.stmts, set(cont), set())
     sizes = []
     for v in range(nv):
-        if infinite[v]:
+        if v in cont:
+            sizes.append(len(cont[v].xs))
+        elif infinite[v]:
             sizes.append(int(order))
         else:
             if bound[v] > _FINITE_CAP:
@@ -414,7 +645,7 @@ def grid_sizes(program: ast.Program, order: int) -> list:
                     f"({bound[v]})"
                 )
             sizes.append(bound[v])
-    return sizes
+    return sizes, cont
 
 
 # ----------------------------------------------------------------------
@@ -442,11 +673,12 @@ class _MassCompiler:
     joint mass tensor; per-iteration quantities are host-precomputed
     arrays delivered through ``xs`` (one entry per registered feed)."""
 
-    def __init__(self, sizes):
+    def __init__(self, sizes, cont=None):
         import jax.numpy as jnp
 
         self.jnp = jnp
         self.sizes = sizes
+        self.cont = cont or {}  # var -> _ContGrid (continuous values)
         self.nv = len(sizes)
         # per-step feeds: fn(slot_values, params) -> np.ndarray, read
         # from env[0] (the scan's per-iteration xs)
@@ -501,6 +733,13 @@ class _MassCompiler:
         return lambda env: env[0][idx]
 
     # -- axis helpers ---------------------------------------------------
+    def _vals(self, v: int) -> np.ndarray:
+        """Grid node VALUES of axis v (= arange for integer grids)."""
+        g = self.cont.get(v)
+        if g is not None:
+            return g.xs
+        return np.arange(self.sizes[v], dtype=np.float64)
+
     def _bshape(self, axis: int, ln: int):
         sh = [1] * self.nv
         sh[axis] = ln
@@ -563,8 +802,48 @@ class _MassCompiler:
         return jnp.moveaxis(out, 0, axis)
 
     # -- distributions --------------------------------------------------
-    def _dist_vec(self, dist, n: int):
-        """Var-free distribution -> pmf row fn(xs) of length n."""
+    def _dist_vec(self, dist, v: int, n: int):
+        """Var-free distribution -> mass row fn(xs) of length n on
+        axis ``v``'s grid (pmf on integer grids; pdf * quadrature weight
+        on continuous grids; one-hot on Dirac value grids)."""
+        g = self.cont.get(v)
+        if g is not None:
+            if isinstance(dist, ast.Dirac):
+                a = _static_ratio_f(dist.a)
+                row = (np.abs(g.xs - a) <= 1e-12 * max(abs(a), 1.0))
+                if row.sum() != 1:
+                    raise UnsupportedForScan(
+                        "Dirac value missing from the value grid"
+                    )
+                arr = self.jnp.asarray(row.astype(np.float64))
+                return lambda xs: arr
+            if g.dirac:
+                raise UnsupportedForScan(
+                    "continuous sample into a Dirac value grid"
+                )
+            if isinstance(dist, ast.UniformCont):
+                return self._maybe_feed(
+                    lambda lo, hi, xs=g.xs, gw=g.gw:
+                        _uniform_cont_mass(lo, hi, xs, gw),
+                    [dist.start, dist.end],
+                )
+            if isinstance(dist, ast.Exponential):
+                return self._maybe_feed(
+                    lambda b, xs=g.xs, gw=g.gw: _gamma_mass(1.0, b, xs, gw),
+                    [dist.rate],
+                )
+            if isinstance(dist, ast.Gamma):
+                return self._maybe_feed(
+                    lambda a, b, xs=g.xs, gw=g.gw: _gamma_mass(a, b, xs, gw),
+                    [dist.shape, dist.rate],
+                )
+            raise UnsupportedForScan(
+                f"distribution {dist} on a continuous grid"
+            )
+        if isinstance(dist, (ast.UniformCont, ast.Exponential, ast.Gamma)):
+            raise UnsupportedForScan(
+                f"continuous {dist} into an integer grid"
+            )
         if isinstance(dist, ast.Poisson):
             return self._maybe_feed(lambda lam: _pois_vec(lam, n),
                                     [dist.rate])
@@ -606,6 +885,33 @@ class _MassCompiler:
         s (host-side), turning a delta kernel into the ``v +~ D(v)``
         destination kernel."""
         post = _shift_kernel_rows if shift_rows else (lambda K: K)
+        gsrc = self.cont.get(dist.var)
+        if gsrc is not None:
+            # continuous parent: kernel rows evaluated at the node
+            # VALUES (the parent axis keeps its quadrature masses; the
+            # kernel is a plain conditional pmf, no weights)
+            if shift_rows:
+                raise UnsupportedForScan(
+                    "additive sample from a continuous parent"
+                )
+            xs_nodes = gsrc.xs
+            if isinstance(dist, ast.PoissonVarRate):
+                return dist.var, self._maybe_feed(
+                    lambda f, xsn=xs_nodes: np.stack(
+                        [_pois_vec(f * x, n_dst) for x in xsn]
+                    ),
+                    [dist.rate],
+                )
+            if isinstance(dist, ast.BernoulliVarProb):
+                K = np.zeros((len(xs_nodes), n_dst))
+                K[:, 0] = 1.0 - xs_nodes
+                if n_dst > 1:
+                    K[:, 1] = xs_nodes
+                arr = self.jnp.asarray(K)
+                return dist.var, (lambda xs, arr=arr: arr)
+            raise UnsupportedForScan(
+                f"sample from {dist} with a continuous parent"
+            )
         if isinstance(dist, ast.BinomialVarTrials):
             return dist.var, self._maybe_feed(
                 lambda p: post(_pascal_matrix(n_src, n_dst, p)), [dist.p]
@@ -645,19 +951,26 @@ class _MassCompiler:
         if isinstance(event, ast.InSet):
             v = event.var
             n = self.sizes[v]
+            g = self.cont.get(v)
+            if g is not None and not g.dirac:
+                raise UnsupportedForScan(
+                    "set membership on a continuous grid"
+                )
             ind = np.zeros(n)
             for x in event.set:
                 if isinstance(x, Slot):
                     raise UnsupportedForScan("varying InSet member")
-                if 0 <= x < n:
+                if g is not None:  # Dirac value grid: match by VALUE
+                    ind[np.abs(g.xs - float(x)) <= 1e-12] = 1.0
+                elif 0 <= x < n:
                     ind[x] = 1.0
             arr = jnp.asarray(ind.reshape(self._bshape(v, n)))
             return lambda xs: arr
         if isinstance(event, ast.VarComparison):
             v1, v2 = event.v1, event.v2
             n1, n2 = self.sizes[v1], self.sizes[v2]
-            a = np.arange(n1)[:, None]
-            b = np.arange(n2)[None, :]
+            a = self._vals(v1)[:, None]
+            b = self._vals(v2)[None, :]
             if event.comp == ast.Comparison.EQ:
                 ind = (a == b).astype(np.float64)
             elif event.comp == ast.Comparison.LT:
@@ -701,6 +1014,25 @@ class _MassCompiler:
             w = dist.var
             n = self.sizes[w]
             sh = self._bshape(w, n)
+            gsrc = self.cont.get(w)
+            if gsrc is not None:
+                xs_nodes = gsrc.xs
+                if isinstance(dist, ast.PoissonVarRate):
+                    return self._maybe_feed(
+                        lambda c, f, xsn=xs_nodes: _pois_obs_vals(
+                            int(round(c)), f * xsn).reshape(sh),
+                        [data, dist.rate],
+                    )
+                if isinstance(dist, ast.BernoulliVarProb):
+                    return self._maybe_feed(
+                        lambda c, xsn=xs_nodes: (
+                            xsn if int(round(c)) == 1 else 1.0 - xsn
+                        ).reshape(sh),
+                        [data],
+                    )
+                raise UnsupportedForScan(
+                    f"observation from {dist} with a continuous parent"
+                )
             if isinstance(dist, ast.PoissonVarRate):
                 fn = self._maybe_feed(
                     lambda c, f: _obs_pois_rate_row(
@@ -786,6 +1118,8 @@ class _MassCompiler:
             return self._assign_op(stmt)
         if isinstance(stmt, ast.Decrement):
             v, c = stmt.var, stmt.offset
+            if v in self.cont:
+                raise UnsupportedForScan("decrement on a continuous grid")
             if isinstance(c, Slot):
                 raise UnsupportedForScan("varying decrement offset")
             n = self.sizes[v]
@@ -847,7 +1181,11 @@ class _MassCompiler:
         n = self.sizes[v]
         dist = stmt.distribution
         if not self._dist_has_var(dist):
-            vec = self._dist_vec(dist, n)
+            if stmt.add_previous_value and v in self.cont:
+                raise UnsupportedForScan(
+                    "additive sample on a continuous grid"
+                )
+            vec = self._dist_vec(dist, v, n)
             if stmt.add_previous_value:
                 return lambda g, xs: self._conv_along(g, v, vec(xs))
             sh = self._bshape(v, n)
@@ -855,6 +1193,10 @@ class _MassCompiler:
                 m = jnp.sum(g, axis=v, keepdims=True)
                 return m * vec(xs).reshape(sh)
             return ap
+        if v in self.cont:
+            raise UnsupportedForScan(
+                "var-parameterized sample into a continuous grid"
+            )
         w = dist.var
         if w == v:
             # self-referential: kernel on (old value -> new value).
@@ -876,6 +1218,10 @@ class _MassCompiler:
                 m = jnp.sum(g, axis=v, keepdims=True)
                 return m * (K if w < v else K.T).reshape(sh)
             return ap
+        if w in self.cont:
+            raise UnsupportedForScan(
+                "additive sample from a continuous parent"
+            )
         # v +~ D(w): per-w-value truncated convolution along v.  The
         # supported kernels all factorize over w — D(n) = D(1)^(*n) in
         # pgf terms — so instead of an O(N^3) band tensor we apply the
@@ -933,6 +1279,31 @@ class _MassCompiler:
     def _assign_op(self, stmt: ast.Assign) -> Callable:
         jnp = self.jnp
         v = stmt.var
+        if v in self.cont or (
+            stmt.addend is not None and stmt.addend[1] in self.cont
+        ):
+            # the one grid-exact continuous assignment: a pure value
+            # copy between IDENTICAL value grids (index copy)
+            w = stmt.addend[1] if stmt.addend is not None else None
+            if (
+                _is_copy_assign(stmt) and w != v
+                and v in self.cont and w in self.cont
+                and np.array_equal(self.cont[v].xs, self.cont[w].xs)
+            ):
+                n = self.sizes[v]
+                I = np.eye(self.sizes[w], n)
+                if w > v:
+                    I = I.T
+                arr = self.jnp.asarray(
+                    I.reshape(self._bshape2(w, self.sizes[w], v, n))
+                )
+
+                def ap(g, xs):
+                    m = jnp.sum(g, axis=v, keepdims=True)
+                    return m * arr
+
+                return ap
+            raise UnsupportedForScan("assignment on a continuous grid")
         n = self.sizes[v]
         off = stmt.offset
         if isinstance(off, Slot):
@@ -1849,9 +2220,12 @@ class ScanCompiled:
         self.rep = rep
         self.params = dict(params) if params else {}
         self.max_steps = int(max_steps or max(rep.n_iters, 1))
-        sizes = grid_sizes(program, order)
+        sizes, cont = grid_sizes(program, order)
         self.sizes = sizes
-        mc = _MassCompiler(sizes)
+        self.cont = cont
+        rv0 = program.result
+        self.result_vals = cont[rv0].xs if rv0 in cont else None
+        mc = _MassCompiler(sizes, cont)
         pre_ap = mc.compile_block(rep.prologue)
         if mc.feeds:
             raise UnsupportedForScan("slots escaped into the prologue")
@@ -2061,13 +2435,16 @@ def compile_scan(program: ast.Program, order: int = 128,
                  rtol: float = 1e-12):
     """Detect repetition, compile, and validate truncation by doubling
     the grid order until two consecutive orders agree to ``rtol``.
-    Returns ``(masses, Z, n_iters)``; raises UnsupportedForScan if the
-    program is outside the fragment or never converges."""
+    Returns ``(masses, Z, obj)`` — ``obj.rep.n_iters`` is the detected
+    iteration count and ``obj.result_vals`` the result variable's node
+    values when it is continuous (None = integer grid, masses[k] is the
+    mass of value k).  Raises UnsupportedForScan if the program is
+    outside the fragment or never converges."""
     obj, (masses, Z) = compile_scan_program(
         program, order=order, min_iters=min_iters,
         max_order=max_order, rtol=rtol,
     )
-    return masses, Z, obj.rep.n_iters
+    return masses, Z, obj
 
 
 def compile_scan_program(program: ast.Program, order: int = 128,
@@ -2124,6 +2501,31 @@ def compile_scan_program(program: ast.Program, order: int = 128,
         if prev is not None:
             m_prev, z_prev = prev
             m_cur, z_cur = cur
+            pv = getattr(prev_obj, "result_vals", None)
+            cv = getattr(obj, "result_vals", None)
+            if pv is not None and cv is not None:
+                # continuous result: the node sets differ between grid
+                # orders, so compare Z and the posterior moments the
+                # caller will actually read instead of raw node masses
+                def _summ(m, z, vals):
+                    if z <= 0.0:
+                        return np.zeros(5)
+                    return np.asarray(
+                        [z] + [float((m * vals ** k).sum()) / z
+                               for k in (1, 2, 3, 4)]
+                    )
+
+                sp = _summ(m_prev, z_prev, pv)
+                sc = _summ(m_cur, z_cur, cv)
+                ok = all(
+                    abs(a - b) <= rtol * max(abs(a), abs(b), 1e-12)
+                    for a, b in zip(sp, sc)
+                )
+                if ok:
+                    return prev_obj, prev
+                prev, prev_obj = cur, obj
+                o *= 2
+                continue
             k = min(len(m_prev), len(m_cur))
             scale = max(z_cur, np.max(m_cur) if len(m_cur) else 0.0)
             zero_measure = (

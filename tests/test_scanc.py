@@ -103,8 +103,8 @@ def test_cascade_switchpoint_discrete_golden():
     from genfer_tpu.scanc import compile_scan
 
     prog = parse_file(str(REAL_WORLD / "switchpoint.sgcl"))
-    masses, Z, n = compile_scan(prog, order=128)
-    assert n == 109
+    masses, Z, obj = compile_scan(prog, order=128)
+    assert obj.rep.n_iters == 109
     text = (REAL_WORLD / "switchpoint.expect").read_text()
     z_exp = float(re.search(r"Z = ([\d.e+-]+)", text).group(1))
     p41 = float(re.search(r"p\(41\) / Z = ([\d.e+-]+)", text).group(1))
@@ -542,7 +542,7 @@ def test_scan_compiler_corpus_coverage():
             continue
         prog = parse_program(sgcl.read_text(encoding="utf-8"))
         try:
-            masses, Z, _ = compile_scan(prog, order=64)
+            masses, Z, obj = compile_scan(prog, order=64)
         except UnsupportedForScan:
             fallbacks += 1
             continue
@@ -554,6 +554,21 @@ def test_scan_compiler_corpus_coverage():
             assert abs(Z - z_exp) <= max(1e-8 * abs(z_exp), 1e-14), (
                 sgcl, Z, z_exp
             )
+        me = _re.search(r"Expected value:\s+E = ([0-9.eE+-]+)\s", exp)
+        if me and Z > 0:
+            vals = getattr(obj, "result_vals", None)
+            import numpy as _np
+            ns = (vals if vals is not None
+                  else _np.arange(len(masses), dtype=float))
+            e_got = float((masses * ns).sum()) / Z
+            e_exp = float(me.group(1))
+            # 1e-7: the committed cont_switchpoint golden is itself
+            # ~1.2e-8 off the exact Gamma-Poisson value (the quadrature
+            # is closer to ground truth than the golden; see
+            # test_cascade_switchpoint_continuous_exact)
+            assert abs(e_got - e_exp) <= max(1e-7 * abs(e_exp), 1e-10), (
+                sgcl, e_got, e_exp
+            )
         for k, v in _re.findall(
             r"Unnormalized: p\((\d+)\)\s*= ([0-9.eE+-]+)", exp
         ):
@@ -562,9 +577,72 @@ def test_scan_compiler_corpus_coverage():
                 assert abs(masses[k] - v) <= max(1e-8 * abs(v), 1e-12), (
                     sgcl, k, masses[k], v
                 )
-    # fragment-size pin: the compiler covered 68 of these programs when
-    # this test was written (95 of the full 122-file corpus; the rest
-    # are flag-skipped or in the heavy set above) — a real regression
-    # shows up as a big drop
-    assert compiled >= 65, f"only {compiled} corpus programs compiled"
-    assert fallbacks <= 35, f"{fallbacks} fallbacks — fragment shrank?"
+    # fragment-size pin: the compiler covers 82 of these programs
+    # (109 of the full 122-file corpus since the continuous-grid
+    # extension; the rest are flag-skipped or in the heavy set above) —
+    # a real regression shows up as a big drop
+    assert compiled >= 78, f"only {compiled} corpus programs compiled"
+    assert fallbacks <= 17, f"{fallbacks} fallbacks — fragment shrank?"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_continuous_grid_beta_bernoulli_exact(seed):
+    """Continuous quadrature grids vs the EXACT Beta-Bernoulli closed
+    form: a UniformCont(0,1) prior with random Bernoulli(P) observation
+    strings has Z = B(1+h, 1+t) and posterior moments
+    E[P^k] = prod (1+h+i)/(2+h+t+i) — Gauss-Legendre is exact for the
+    polynomial likelihood, so the compiled result must match to
+    machine precision."""
+    import math
+    import random
+
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import compile_scan
+
+    rng = random.Random(4200 + seed)
+    obs = [rng.randrange(2) for _ in range(rng.randrange(1, 12))]
+    src = "P ~ UniformCont(0, 1);\n"
+    src += "".join(f"observe {o} ~ Bernoulli(P);\n" for o in obs)
+    src += "return P"
+    masses, Z, obj = compile_scan(parse_program(src), order=64)
+    h, t = sum(obs), len(obs) - sum(obs)
+    z_exact = math.gamma(1 + h) * math.gamma(1 + t) / math.gamma(2 + h + t)
+    assert abs(Z - z_exact) <= 1e-13 * z_exact, (Z, z_exact)
+    vals = obj.result_vals
+    e = float((masses * vals).sum()) / Z
+    e2 = float((masses * vals ** 2).sum()) / Z
+    e_exact = (1 + h) / (2 + h + t)
+    e2_exact = e_exact * (2 + h) / (3 + h + t)
+    assert abs(e - e_exact) <= 1e-12 * e_exact
+    assert abs(e2 - e2_exact) <= 1e-12 * e2_exact
+
+
+def test_continuous_copy_assign_clickgraph_shape():
+    """The clickGraph pattern (continuous copy-assign `b2 := b1` inside
+    a branch) compiles; posterior of the similarity flag matches the
+    independent closed form: P(same) ~ q*B-terms integral."""
+    import math
+
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import compile_scan
+
+    src = """
+same ~ Bernoulli(1/2);
+if same = 1 {
+    b1 ~ UniformCont(0, 1);
+    b2 := b1;
+} else {
+    b1 ~ UniformCont(0, 1);
+    b2 ~ UniformCont(0, 1);
+}
+observe 1 ~ Bernoulli(b1);
+observe 0 ~ Bernoulli(b2);
+observe 1 ~ Bernoulli(b1);
+return same
+"""
+    masses, Z, _ = compile_scan(parse_program(src), order=64)
+    # same=1: ∫ p^2(1-p) dp = B(3,2) = 1/12; same=0: ∫p^2 ∫(1-q) = 1/3*1/2
+    w1, w0 = 0.5 / 12.0, 0.5 / 6.0
+    assert abs(Z - (w0 + w1)) <= 1e-13
+    assert abs(masses[1] - w1) <= 1e-13
+    assert abs(masses[0] - w0) <= 1e-13
