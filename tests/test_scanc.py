@@ -646,3 +646,31 @@ return same
     assert abs(Z - (w0 + w1)) <= 1e-13
     assert abs(masses[1] - w1) <= 1e-13
     assert abs(masses[0] - w0) <= 1e-13
+
+
+def test_continuous_serving_fresh_data():
+    """Continuous-grid serving: fresh Bernoulli observation strings
+    through run_with_data / run_batch match the exact Beta integral."""
+    import math
+
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import compile_scan_program
+
+    obs = [1, 0, 1, 1, 0, 1]
+    src = ("P ~ UniformCont(0, 1);\n"
+           + "".join(f"observe {o} ~ Bernoulli(P);\n" for o in obs)
+           + "return P")
+    obj, _ = compile_scan_program(parse_program(src), order=64)
+
+    def z_exact(b):
+        h, t = int(sum(b)), int(len(b) - sum(b))
+        return (math.gamma(1 + h) * math.gamma(1 + t)
+                / math.gamma(2 + h + t))
+
+    fresh = [0, 0, 1, 0, 0, 0]
+    _, Z = obj.run_with_data([fresh])
+    assert abs(Z - z_exact(fresh)) <= 1e-13 * z_exact(fresh)
+    batch = np.asarray([[1, 1, 1, 0, 1, 1], [0, 1, 0, 0, 1, 0]])
+    _, Zs = obj.run_batch([batch])
+    for Zb, b in zip(Zs, batch):
+        assert abs(Zb - z_exact(b)) <= 1e-12 * z_exact(b)
