@@ -10,9 +10,12 @@ multivariate div/exp/log Newton paths — raises ``_evaltape.Unsupported``
 at flatten or run time, and the caller falls back to the Python
 interpreter (identical semantics, reference gf.rs parity path).
 
-Enabled by default on the NumpyF64Backend; ``GENFER_NATIVE_EVAL=0``
-disables it, ``GENFER_NATIVE_EVAL=check`` runs both evaluators and
-cross-checks the results (used by the test suite).
+Enabled by default on the NumpyF64Backend and on the Hybrid/Pallas
+backends (whose host semantics are identical; evaluations that reach a
+conv above their accelerator-offload threshold bail back to the Python
+path so big products still offload); ``GENFER_NATIVE_EVAL=0`` disables
+it, ``GENFER_NATIVE_EVAL=check`` runs both evaluators and cross-checks
+the results (used by the test suite).
 """
 
 from __future__ import annotations
@@ -210,9 +213,28 @@ def native_eval_enabled(backend) -> bool:
         return False
     if os.environ.get("GENFER_NO_DEMAND"):
         return False  # debug mode evaluates at exact requested degrees
-    from ..taylor.backend import NumpyF64Backend
+    from ..taylor.backend import (HybridBackend, NumpyF64Backend,
+                                  PallasBackend)
 
-    return type(backend) is NumpyF64Backend and backend.scalar_cls is F64
+    # Hybrid/Pallas keep numpy host semantics and offload only convs
+    # above a flop threshold: the tape runs them too, bailing out (via
+    # max_conv_flops) when an evaluation reaches an op the backend
+    # would offload, so big-order work still lands on the accelerator
+    return (type(backend) in (NumpyF64Backend, HybridBackend,
+                              PallasBackend)
+            and backend.scalar_cls is F64)
+
+
+def _offload_threshold(backend) -> float:
+    from ..taylor.backend import HybridBackend
+
+    if isinstance(backend, HybridBackend):
+        thr = float(backend.CONV_OFFLOAD_FLOPS)
+        pal = getattr(backend, "PALLAS_OFFLOAD_FLOPS", None)
+        if pal is not None:
+            thr = min(thr, float(pal))
+        return thr
+    return 0.0
 
 
 def try_native_eval(root, backend, inputs, demand) -> Optional["TaylorPoly"]:
@@ -238,6 +260,7 @@ def try_native_eval(root, backend, inputs, demand) -> Optional["TaylorPoly"]:
             flat.value, flat.uv, flat.rec_kind, flat.rec_var, flat.rec_lam,
             flat.rec_inner, flat.bypassed, flat.root_id, flat.extras, inp,
             axes, uni, _BUDGET_MB * 1024 * 1024, 0,
+            _offload_threshold(backend),
         )
     except _evaltape.Unsupported:
         return None

@@ -94,6 +94,11 @@ thread_local EvalStats* g_stats = nullptr;
 // ns spent in child eval_node calls of the currently-running node
 // (exclusive-time attribution; see eval_node's stats path)
 thread_local long long g_child_ns = 0;
+// when > 0: a dense conv whose multiply-add count reaches this bails
+// out with Unsupported, so the HybridBackend caller re-runs through
+// its Python path and offloads the big products to the accelerator
+// (host-side ops below the threshold are identical either way)
+thread_local double g_max_conv_flops = 0.0;
 
 BufPtr make_buf(i64 n) {
     if (g_stats) {
@@ -880,6 +885,24 @@ Poly mul_poly(Poly& sa, Poly& sb) {
         std::vector<i64> s = a2.shape;
         s[v] = (i64)std::min(degrees[v], s[v] + 1);
         return mul_linear_poly(a2, c, m, v, s, degrees);
+    }
+    if (g_max_conv_flops > 0.0) {
+        // mirrors HybridBackend._conv_flops: per-axis truncated pair
+        // counts; above the offload threshold the Python path wins
+        double total = 1.0;
+        for (size_t i = 0; i < shape.size(); i++) {
+            i64 sa = i < a2.shape.size() ? a2.shape[i] : 1;
+            i64 sb = i < b2.shape.size() ? b2.shape[i] : 1;
+            double pairs = 0.0;
+            for (i64 k = 0; k < shape[i]; k++) {
+                i64 lo = k + 1 - sb > 0 ? k + 1 - sb : 0;
+                i64 hi = k + 1 < sa ? k + 1 : sa;
+                if (hi > lo) pairs += (double)(hi - lo);
+            }
+            total *= pairs > 1.0 ? pairs : 1.0;
+        }
+        if (total >= g_max_conv_flops)
+            throw Unsupported{"conv above the accelerator-offload threshold"};
     }
     Poly out = conv_trunc_poly(a2, b2, shape, degrees);
     out.has_c0 = has_c0;

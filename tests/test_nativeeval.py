@@ -165,3 +165,66 @@ def test_budget_eviction_still_correct(monkeypatch):
     monkeypatch.setenv("GENFER_NATIVE_EVAL", "0")
     total_p, _, _ = _summary(src, discrete=False)
     assert total == total_p
+
+
+def test_hybrid_backend_routes_native(monkeypatch):
+    """The Hybrid backend (the default on a live accelerator) shares
+    numpy host semantics: the tape must engage and agree bitwise."""
+    from genfer_tpu.taylor.backend import HybridBackend
+
+    assert nativeeval.native_eval_enabled(HybridBackend())
+
+    src = OBS_CHAIN_PROGRAMS["discrete_poisson_chain"]
+    monkeypatch.setenv("GENFER_NATIVE_EVAL", "check")
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.semantics.gf_transformer import GfTransformer
+    from genfer_tpu.numbers.scalar import F64
+    from genfer_tpu.gf.extract import probs_taylor
+
+    prog = parse_program(src)
+    tr = GfTransformer(F64).semantics(prog)
+    hb = HybridBackend()
+    from genfer_tpu.taylor.backend import NumpyF64Backend
+
+    ph = probs_taylor(tr.gf, hb, prog.result, tr.var_info, 8)
+    pn = probs_taylor(tr.gf, NumpyF64Backend(), prog.result,
+                      tr.var_info, 8)
+    assert [x.v for x in ph] == [x.v for x in pn]
+
+
+def test_hybrid_offload_threshold_bails(monkeypatch):
+    """An evaluation that reaches a conv above the backend's offload
+    threshold must return None from the tape (the Python path then
+    offloads it) and still produce the same posterior."""
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.semantics.gf_transformer import GfTransformer
+    from genfer_tpu.numbers.scalar import F64
+    from genfer_tpu.gf.extract import probs_taylor
+    from genfer_tpu.taylor.backend import HybridBackend, NumpyF64Backend
+
+    src = """
+        A ~ Poisson(3);
+        B ~ Poisson(2);
+        observe 2 ~ Binomial(A, 0.4);
+        observe 1 ~ Binomial(B, 0.5);
+        return A
+    """
+    prog = parse_program(src)
+    tr = GfTransformer(F64).semantics(prog)
+    hb = HybridBackend()
+    monkeypatch.setattr(HybridBackend, "CONV_OFFLOAD_FLOPS", 10)
+    bails = {"n": 0}
+    orig = nativeeval.try_native_eval
+
+    def spy(root, backend, inputs, demand):
+        res = orig(root, backend, inputs, demand)
+        if res is None and nativeeval.native_eval_enabled(backend):
+            bails["n"] += 1
+        return res
+
+    monkeypatch.setattr(nativeeval, "try_native_eval", spy)
+    ph = probs_taylor(tr.gf, hb, prog.result, tr.var_info, 8)
+    assert bails["n"] > 0, "expected the tape to bail above 10 flops"
+    pn = probs_taylor(tr.gf, NumpyF64Backend(), prog.result,
+                      tr.var_info, 8)
+    assert [x.v for x in ph] == [x.v for x in pn]
