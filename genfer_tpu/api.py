@@ -118,3 +118,25 @@ def infer(
 def infer_file(path, **kwargs) -> InferenceResult:
     with open(path, "r", encoding="utf-8") as f:
         return infer(f.read(), **kwargs)
+
+
+def compile_serving(source: str, *, order: int = 128,
+                    params: Optional[dict] = None,
+                    max_steps: Optional[int] = None):
+    """Compile an SGCL program to its accelerator scan form for
+    repeated serving (the CLI's ``--compile-scan`` as a library call).
+
+    Returns the compiled object, truncation-validated by grid doubling:
+    ``run()`` reproduces the committed dataset, ``run_with_data`` /
+    ``run_batch`` serve fresh observation datasets (one vmapped device
+    dispatch for a whole batch), ``run_param_sweep`` sweeps ``$param``
+    bindings without retracing, and telescoping cascades expose
+    ``run_with_counts``.  Raises ``scanc.UnsupportedForScan`` when the
+    program is outside the compiler's fragment (use :func:`infer`)."""
+    from .scanc import compile_scan_program
+
+    program = parse_program(source)
+    obj, _ = compile_scan_program(
+        program, order=order, params=params, max_steps=max_steps
+    )
+    return obj

@@ -80,3 +80,39 @@ def test_rational_int_conv_path():
     ref = b._conv_generic(a, c, (6,))
     for i in range(6):
         assert b.to_host(out[i]).frac == b.to_host(ref[i]).frac
+
+
+def test_compile_serving():
+    """api.compile_serving: the --compile-scan path as a library call,
+    incl. fresh-data serving."""
+    import math
+
+    from genfer_tpu import api
+
+    obs = [2, 0, 3, 1, 4]
+    src = ("Rate ~ Geometric(0.4);\n"
+           + "".join(f"observe {o} ~ Poisson(1/2 * Rate);\n" for o in obs)
+           + "return Rate")
+    obj = api.compile_serving(src, order=64)
+    masses, Z = obj.run()
+    r = api.infer(src)
+    assert abs(Z - r.total.to_float()) <= 1e-11 * r.total.to_float()
+    # fresh dataset through the same compiled program
+    fresh = [1, 1, 0, 2, 3]
+    _, Z2 = obj.run_with_data([fresh])
+    src2 = ("Rate ~ Geometric(0.4);\n"
+            + "".join(f"observe {o} ~ Poisson(1/2 * Rate);\n"
+                      for o in fresh)
+            + "return Rate")
+    r2 = api.infer(src2)
+    assert abs(Z2 - r2.total.to_float()) <= 1e-11 * r2.total.to_float()
+
+    import pytest
+
+    from genfer_tpu.scanc import UnsupportedForScan
+
+    with pytest.raises(UnsupportedForScan):
+        api.compile_serving(
+            "X := 0;\nwhile 0 ~ Bernoulli(1/2) { X += 1; }\nreturn X",
+            order=16,
+        )
