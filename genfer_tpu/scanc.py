@@ -1722,20 +1722,6 @@ def _cascade_pair_row(ev, vlo: int, nlo: int, nhi: int) -> np.ndarray:
     return ind if ev.v1 == vlo else ind.T
 
 
-def _cascade_unit_rows_multi(units, n: int):
-    """(vars, rows) for general diagonal observation units on the
-    INTEGER grid 0..n-1 (host f64, same builders as the scan
-    templates).  Units may touch SEVERAL variables — each unit is
-    diagonal in exactly one var; ``vars[i]`` is unit i's variable."""
-    rows, unit_vars = [], []
-    for st in units:
-        ev = st.recognize_observe()
-        v, row = _cascade_event_row(ev, n)
-        unit_vars.append(v)
-        rows.append(row)
-    return unit_vars, np.stack(rows)
-
-
 def _log_pois_rows(cs, fs, xs) -> np.ndarray:
     """rows[i, j] = Poisson(c_i; f_i * xs_j), stable host f64."""
     import math
