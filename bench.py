@@ -876,6 +876,7 @@ def bench_suite(num_runs=1):
                 results[f"approx/{name}"] = {"fp": round(dt, 4)}
                 msg = f"{dt:.3f}s"
                 if name in eval_compare:
+                    saved_mode = os.environ.get("GENFER_NATIVE_EVAL")
                     os.environ["GENFER_NATIVE_EVAL"] = "0"
                     try:
                         t0 = time.perf_counter()
@@ -889,7 +890,10 @@ def bench_suite(num_runs=1):
                         )
                         msg += f" (python evaluator: {dt_py:.3f}s)"
                     finally:
-                        os.environ.pop("GENFER_NATIVE_EVAL", None)
+                        if saved_mode is None:
+                            os.environ.pop("GENFER_NATIVE_EVAL", None)
+                        else:
+                            os.environ["GENFER_NATIVE_EVAL"] = saved_mode
             except Exception as e:  # noqa: BLE001
                 results[f"approx/{name}"] = {"fp": f"FAILED {e}"}
                 msg = f"FAILED {e}"

@@ -631,7 +631,15 @@ def grid_sizes(program: ast.Program, order: int):
                 hi = dh if hi is None else max(hi, dh)
             xs, gw = _quad_grid(lo, hi, order)
             cont[v] = _ContGrid(xs, gw)
-        _check_cont_sampled_first(program.stmts, set(cont), set())
+        sampled = _check_cont_sampled_first(program.stmts, set(cont), set())
+        if program.result in cont and program.result not in sampled:
+            # the result var's VALUE is consumed (moments): mass left at
+            # grid index 0 on an unsampled path would read node value
+            # xs[0] != 0 and the error is grid-independent — the
+            # doubling check cannot catch it
+            raise UnsupportedForScan(
+                "continuous result not sampled on every path"
+            )
     sizes = []
     for v in range(nv):
         if v in cont:
@@ -1024,12 +1032,17 @@ class _MassCompiler:
                         [data, dist.rate],
                     )
                 if isinstance(dist, ast.BernoulliVarProb):
-                    return self._maybe_feed(
-                        lambda c, xsn=xs_nodes: (
-                            xsn if int(round(c)) == 1 else 1.0 - xsn
-                        ).reshape(sh),
-                        [data],
-                    )
+                    def bern_row(c, xsn=xs_nodes):
+                        c = int(round(c))
+                        if c == 1:
+                            row = xsn
+                        elif c == 0:
+                            row = 1.0 - xsn
+                        else:  # impossible observation: zero likelihood
+                            row = np.zeros_like(xsn)
+                        return row.reshape(sh)
+
+                    return self._maybe_feed(bern_row, [data])
                 raise UnsupportedForScan(
                     f"observation from {dist} with a continuous parent"
                 )
@@ -2475,6 +2488,24 @@ def compile_scan_program(program: ast.Program, order: int = 128,
                 prologue=tuple(program.stmts), template=(), data=[],
                 n_iters=0, epilogue=(),
             )
+    def _grid_fingerprint(obj):
+        """The compiled grids as a comparable value: if two doubling
+        steps share it, they ran the IDENTICAL program and their
+        agreement proves nothing."""
+        cont = getattr(obj, "cont", None)
+        if cont is not None:  # ScanCompiled
+            return (tuple(obj.sizes),
+                    tuple((v, g.xs.tobytes())
+                          for v, g in sorted(cont.items())))
+        xs = getattr(obj, "_xs_grid", None)  # CascadeCompiled
+        return (tuple(len(g["w0"]) for g in obj._groups),
+                None if xs is None else xs.tobytes())
+
+    def _uses_quadrature(obj):
+        return bool(getattr(obj, "cont", None)) or bool(
+            getattr(obj, "_continuous", False)
+        )
+
     prev = prev_obj = None
     o = order
     while o <= max_order:
@@ -2485,6 +2516,18 @@ def compile_scan_program(program: ast.Program, order: int = 128,
                                params=params)
         cur = obj.run()
         if prev is not None:
+            # quadrature error never vanishes exactly: two orders whose
+            # node grids came out IDENTICAL (the composite-GL panel/node
+            # floors coincide at small orders) must not validate each
+            # other — keep doubling until the grids actually differ.
+            # Pure integer grids are exempt: identical sizes there mean
+            # the finite supports are fully covered (exact results).
+            if _uses_quadrature(obj) and (
+                _grid_fingerprint(obj) == _grid_fingerprint(prev_obj)
+            ):
+                prev, prev_obj = cur, obj
+                o *= 2
+                continue
             m_prev, z_prev = prev
             m_cur, z_cur = cur
             pv = getattr(prev_obj, "result_vals", None)
@@ -2492,13 +2535,14 @@ def compile_scan_program(program: ast.Program, order: int = 128,
             if pv is not None and cv is not None:
                 # continuous result: the node sets differ between grid
                 # orders, so compare Z and the posterior moments the
-                # caller will actually read instead of raw node masses
+                # caller reads instead of raw node masses (moments up
+                # to 6: posterior-shape agreement, not just the mean)
                 def _summ(m, z, vals):
                     if z <= 0.0:
-                        return np.zeros(5)
+                        return np.zeros(7)
                     return np.asarray(
                         [z] + [float((m * vals ** k).sum()) / z
-                               for k in (1, 2, 3, 4)]
+                               for k in (1, 2, 3, 4, 5, 6)]
                     )
 
                 sp = _summ(m_prev, z_prev, pv)

@@ -674,3 +674,35 @@ def test_continuous_serving_fresh_data():
     _, Zs = obj.run_batch([batch])
     for Zb, b in zip(Zs, batch):
         assert abs(Zb - z_exact(b)) <= 1e-12 * z_exact(b)
+
+
+def test_continuous_grid_review_regressions():
+    """Pins for three reviewed defects of the continuous-grid
+    extension: impossible Bernoulli observations must kill all mass, a
+    continuous RESULT unsampled on some path must fall back (its error
+    is grid-independent, invisible to doubling), and small starting
+    orders must keep doubling past quadrature grids that came out
+    identical (identical grids validate nothing)."""
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import UnsupportedForScan, compile_scan
+
+    _, Z, _ = compile_scan(parse_program(
+        "P ~ UniformCont(0,1);\nobserve 2 ~ Bernoulli(P);\nreturn P"
+    ), order=64)
+    assert Z == 0.0
+
+    with pytest.raises(UnsupportedForScan):
+        compile_scan(parse_program(
+            "c ~ Bernoulli(1/2);\n"
+            "if c = 1 { P ~ UniformCont(0,1); } else { }\n"
+            "return P"
+        ), order=128)
+
+    m, Z, obj = compile_scan(parse_program(
+        "P ~ UniformCont(0,1);\n"
+        "observe 1 ~ Bernoulli(P);\nobserve 1 ~ Bernoulli(P);\n"
+        "return P"
+    ), order=8)
+    assert abs(Z - 1.0 / 3.0) <= 1e-14
+    e = float((m * obj.result_vals).sum()) / Z
+    assert abs(e - 0.75) <= 1e-13
