@@ -8,7 +8,6 @@ mode, check bitwise agreement where the mirror claims it, and exercise
 the fallback surface.
 """
 
-import os
 import random
 
 import pytest
