@@ -191,15 +191,15 @@ def bench_pallas_rowstrip(order=256, iters=8):
     import jax.numpy as jnp
     import numpy as np
 
-    from genfer_tpu.ops.pallas_conv2d import (conv2d_pallas,
-                                              conv2d_pallas_rowstrip)
+    from genfer_tpu.ops.pallas_conv2d import (conv2d_pallas_rowstrip,
+                                              conv2d_pallas_tile)
 
     shape = (order, order)
     rng = np.random.RandomState(int.from_bytes(os.urandom(4), "little"))
     a = jnp.asarray(rng.rand(*shape).astype(np.float32))
     b = jnp.asarray(rng.rand(*shape).astype(np.float32))
     strip = np.asarray(conv2d_pallas_rowstrip(a, b, shape))
-    tile = np.asarray(conv2d_pallas(a, b, shape))
+    tile = np.asarray(conv2d_pallas_tile(a, b, shape))
     assert np.array_equal(strip, tile), "rowstrip kernel diverged"
 
     def timed(fn):
@@ -220,7 +220,7 @@ def bench_pallas_rowstrip(order=256, iters=8):
         return (time.perf_counter() - t0) / iters
 
     dt_strip = timed(conv2d_pallas_rowstrip)
-    dt_tile = timed(conv2d_pallas)
+    dt_tile = timed(conv2d_pallas_tile)
     flops = flops_conv_trunc(shape, shape)
     print(
         f"  pallas rowstrip order={order}: {dt_strip*1e3:.2f} ms "

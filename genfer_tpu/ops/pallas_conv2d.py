@@ -268,8 +268,12 @@ def _build2d_rowstrip(a0: int, a1: int, b0: int, b1: int, c0: int, c1: int,
 
 def conv2d_pallas_rowstrip(a, b, out_shape, interpret: bool = False,
                            highest: bool = True):
-    """Row-strip single-pair kernel (A/B candidate for small orders —
-    see _build2d_rowstrip)."""
+    """Row-strip single-pair kernel — the default ``conv2d_pallas``
+    path (see _build2d_rowstrip).  Measured on v5e vs the tile kernel
+    (bit-identical outputs): 1.04x @256, 1.29x @384, 1.69x @512
+    (6.44 TFLOP/s), 1.17x @640, 1.10x @768, and 1.86x on the
+    (512,512)->(1023,1023) full-block shape the high-order blocked
+    driver feeds it."""
     c0, c1 = int(out_shape[0]), int(out_shape[1])
     return _build2d_rowstrip(
         int(a.shape[0]), int(a.shape[1]),
@@ -499,16 +503,26 @@ def conv2d_pallas_batched(a_batch, b, out_shape, interpret: bool = False,
     )(a_batch, b)
 
 
-def conv2d_pallas(a, b, out_shape, interpret: bool = False,
-                  highest: bool = True):
-    """Truncated 2-D Cauchy product of float matrices on the TPU MXU.
-
-    ``interpret=True`` runs in the Pallas interpreter (CPU testing);
-    ``highest`` selects multi-pass f32 matmuls (~1.9e-7 rel error) over
-    single-pass bf16 (~2.5e-3)."""
+def conv2d_pallas_tile(a, b, out_shape, interpret: bool = False,
+                       highest: bool = True):
+    """The original (128,128)-tile kernel, kept for A/B benchmarking;
+    superseded as the default by the row-strip variant, which is
+    bit-identical and faster at every measured shape."""
     c0, c1 = int(out_shape[0]), int(out_shape[1])
     return _build2d(
         int(a.shape[0]), int(a.shape[1]),
         int(b.shape[0]), int(b.shape[1]),
         c0, c1, interpret, highest,
     )(a, b)
+
+
+def conv2d_pallas(a, b, out_shape, interpret: bool = False,
+                  highest: bool = True):
+    """Truncated 2-D Cauchy product of float matrices on the TPU MXU.
+
+    Routes to the row-strip kernel (fastest at every measured order,
+    bit-identical to the tile kernel; see conv2d_pallas_rowstrip).
+    ``interpret=True`` runs in the Pallas interpreter (CPU testing);
+    ``highest`` selects multi-pass f32 matmuls (~1.9e-7 rel error) over
+    single-pass bf16 (~2.5e-3)."""
+    return conv2d_pallas_rowstrip(a, b, out_shape, interpret, highest)

@@ -278,8 +278,8 @@ def test_pallas_conv2d_rowstrip_interpret():
     kernel (same per-tile MXU pass order) and match the host conv."""
     import jax.numpy as jnp
 
-    from genfer_tpu.ops.pallas_conv2d import (conv2d_pallas,
-                                              conv2d_pallas_rowstrip)
+    from genfer_tpu.ops.pallas_conv2d import (conv2d_pallas_rowstrip,
+                                              conv2d_pallas_tile)
     from genfer_tpu.taylor.backend import NumpyF64Backend
 
     nb = NumpyF64Backend()
@@ -295,8 +295,8 @@ def test_pallas_conv2d_rowstrip_interpret():
                                    interpret=True)
         )
         tile = np.asarray(
-            conv2d_pallas(jnp.asarray(a), jnp.asarray(b), out,
-                          interpret=True)
+            conv2d_pallas_tile(jnp.asarray(a), jnp.asarray(b), out,
+                               interpret=True)
         )
         np.testing.assert_array_equal(got, tile)
         want = nb.conv_trunc(a, b, out)
