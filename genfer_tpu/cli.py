@@ -328,7 +328,8 @@ def _try_scan_path(program, args) -> bool:
     inference_start = time.perf_counter()
     _enable_x64()
     try:
-        masses, Z, scan_obj = compile_scan(program, order=args.scan_order)
+        masses, Z, scan_obj = compile_scan(program, order=args.scan_order,
+                                           unroll=args.unroll)
     except UnsupportedForScan as e:
         print(f"(scan compilation unavailable: {e}; "
               "falling back to the interpreter)", file=sys.stderr)
@@ -339,8 +340,20 @@ def _try_scan_path(program, args) -> bool:
 
     import numpy as np
 
-    var_info = SupportTransformer(unroll=args.unroll).semantics(program)
-    rest_info = VarSupport.empty(var_info.num_vars())
+    rest_val = float(getattr(scan_obj, "last_rest", 0.0) or 0.0)
+    if program.has_while():
+        # While programs print interval results: mirror the
+        # interpreter's rest support exactly by building the GF
+        # translation (DAG only, never evaluated — construction also
+        # prints the reference's approximation warnings)
+        translation = GfTransformer(F64, unroll=args.unroll).semantics(
+            program
+        )
+        var_info = translation.var_info
+        rest_info = translation.rest_info
+    else:
+        var_info = SupportTransformer(unroll=args.unroll).semantics(program)
+        rest_info = VarSupport.empty(var_info.num_vars())
     IV = Interval.over(F64)
     # continuous results carry their quadrature node values; integer
     # grids use the implicit arange (the printer skips probabilities
@@ -366,7 +379,7 @@ def _try_scan_path(program, args) -> bool:
     wrap = IV.precisely
     print_moments_and_probs_interval(
         IV,
-        lambda: wrap(F64.zero()),
+        lambda: wrap(F64(rest_val)),
         lambda limit: (lambda tm: (wrap(tm[0]), [wrap(m) for m in tm[1]]))(
             moments_fn(limit)
         ),

@@ -618,6 +618,17 @@ class Program:
     def uses_observe(self) -> bool:
         return any(s.uses_observe() for s in self.stmts)
 
+    def has_while(self) -> bool:
+        def walk(stmts):
+            return any(
+                isinstance(s, While)
+                or (isinstance(s, IfThenElse)
+                    and (walk(s.then) or walk(s.els)))
+                or (isinstance(s, Normalize) and walk(s.stmts))
+                for s in stmts
+            )
+        return walk(self.stmts)
+
     def used_vars(self) -> int:
         return max((s.used_vars() for s in self.stmts), default=0)
 

@@ -545,7 +545,7 @@ def _check_cont_sampled_first(stmts, cont_vars: set, sampled: set) -> set:
     return sampled
 
 
-def grid_sizes(program: ast.Program, order: int):
+def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
     """Per-variable axis sizes plus the continuous value grids.
 
     Discrete variables get integer grids (the running support join,
@@ -579,7 +579,7 @@ def grid_sizes(program: ast.Program, order: int):
             return out
 
     try:
-        _Absorb(unroll=8).semantics(program)
+        _Absorb(unroll=unroll).semantics(program)
     except AssertionError as e:  # e.g. widening failure on loops
         raise UnsupportedForScan(str(e))
     cont = {}
@@ -681,13 +681,23 @@ class _MassCompiler:
     joint mass tensor; per-iteration quantities are host-precomputed
     arrays delivered through ``xs`` (one entry per registered feed)."""
 
-    def __init__(self, sizes, cont=None):
+    def __init__(self, sizes, cont=None, unroll: int = 8):
         import jax.numpy as jnp
 
         self.jnp = jnp
         self.sizes = sizes
         self.cont = cont or {}  # var -> _ContGrid (continuous values)
         self.nv = len(sizes)
+        #: default unroll count for While statements without an
+        #: ``unroll n`` annotation (the CLI's --unroll, reference
+        #: default 8)
+        self.unroll = int(unroll)
+        #: rest-mass taps: While ops append the traced scalar mass
+        #: still live after their unrollings DURING TRACING; the
+        #: run-builder collects the segment's taps into the rest
+        #: output (reference: gf.rs while rule adds
+        #: marginalize_all(rest.gf) to translation.rest)
+        self.rest_taps: list = []
         # per-step feeds: fn(slot_values, params) -> np.ndarray, read
         # from env[0] (the scan's per-iteration xs)
         self.feeds = []
@@ -1145,7 +1155,44 @@ class _MassCompiler:
             return lambda g, xs: jnp.zeros_like(g)
         if isinstance(stmt, ast.Normalize):
             return self._normalize_op(stmt)
+        if isinstance(stmt, ast.While):
+            return self._while_op(stmt)
         raise UnsupportedForScan(f"statement {type(stmt).__name__}")
+
+    def _while_op(self, stmt: ast.While) -> Callable:
+        """Bounded unrolling with a rest-mass tap (reference:
+        semantics/gf.rs while rule = gf_transformer.py:348-370): each
+        iteration splits the live mass by the loop condition — the
+        exiting part joins the result, the entering part runs the body —
+        and whatever is still live after ``unroll`` iterations is
+        tapped as rest mass (it makes the printed results intervals:
+        p(k) in [p_k, p_k + rest]).  The condition weight is a function
+        of grid coordinates/feeds only, so it is computed once; mass
+        the body pushes past the grid end is recovered by the
+        grid-doubling validation (a truncating grid disagrees with its
+        doubling)."""
+        jnp = self.jnp
+        if self.cont:
+            # _check_cont_sampled_first does not walk loop bodies, and
+            # quadrature-grid truncation inside a loop has no doubling
+            # story yet — keep the fragment honest
+            raise UnsupportedForScan("while with continuous grids")
+        w = self._event_weight(stmt.cond)
+        body = self.compile_block(stmt.body)
+        count = stmt.unroll if stmt.unroll is not None else self.unroll
+        taps = self.rest_taps
+
+        def ap(g, xs):
+            wv = w(xs)
+            done = jnp.zeros_like(g)
+            live = g
+            for _ in range(count):
+                done = done + live * (1.0 - wv)
+                live = body(live * wv, xs)
+            taps.append(jnp.sum(live))
+            return done
+
+        return ap
 
     def _normalize_op(self, stmt: ast.Normalize) -> Callable:
         """Nested inference, batched: the reference (and the GF
@@ -1174,17 +1221,51 @@ class _MassCompiler:
                 elif isinstance(s, ast.Normalize):
                     check(s.stmts)
                 elif isinstance(s, ast.While):
-                    raise UnsupportedForScan("while inside normalize")
+                    if gv:
+                        # per-slice rest bounds would need the
+                        # reference's per-value rest enumeration
+                        raise UnsupportedForScan(
+                            "while inside a normalize with given "
+                            "variables"
+                        )
         check(stmt.stmts)
         inner = self.compile_block(stmt.stmts)
         other = tuple(a for a in range(self.nv) if a not in gv)
+        taps = self.rest_taps
 
         def ap(g, xs):
+            n0 = len(taps)
             pre = jnp.sum(g, axis=other, keepdims=True) if other else g
             h = inner(g, xs)
             post = jnp.sum(h, axis=other, keepdims=True) if other else h
-            safe = jnp.where(post > 0, post, 1.0)
-            return h * jnp.where(post > 0, pre / safe, 0.0)
+            new = taps[n0:]
+            if not new:
+                safe = jnp.where(post > 0, post, 1.0)
+                return h * jnp.where(post > 0, pre / safe, 0.0)
+            # rest mass inside the block (gv is empty, checked above):
+            # the normalization factor is only known as an interval —
+            # scale the retained mass by the factor's lower bound and
+            # the rest tap by its upper bound (reference: gf.rs
+            # normalize rule = gf_transformer.py:563-578)
+            del taps[n0:]
+            rest_inner = sum(new)
+            rest_before = sum(taps) if taps else 0.0
+            total_before = jnp.sum(g)
+            total_after = jnp.sum(h)
+            den_min = total_after + rest_inner
+            min_f = jnp.where(
+                den_min > 0,
+                total_before / jnp.where(den_min > 0, den_min, 1.0),
+                0.0,
+            )
+            max_f = jnp.where(
+                total_after > 0,
+                (total_before + rest_before)
+                / jnp.where(total_after > 0, total_after, 1.0),
+                0.0,
+            )
+            taps.append(rest_inner * max_f)
+            return h * min_f
 
         return ap
 
@@ -2209,7 +2290,7 @@ class ScanCompiled:
 
     def __init__(self, program: ast.Program, rep: Repetition, order: int,
                  max_steps: Optional[int] = None,
-                 params: Optional[dict] = None):
+                 params: Optional[dict] = None, unroll: int = 8):
         import jax
         import jax.numpy as jnp
 
@@ -2219,12 +2300,31 @@ class ScanCompiled:
         self.rep = rep
         self.params = dict(params) if params else {}
         self.max_steps = int(max_steps or max(rep.n_iters, 1))
-        sizes, cont = grid_sizes(program, order)
+        #: rest mass (mass still live in While loops after their
+        #: unrollings) of the most recent run; printed results become
+        #: intervals [x, x + rest] when nonzero
+        self.last_rest = 0.0
+        sizes, cont = grid_sizes(program, order, unroll=unroll)
         self.sizes = sizes
         self.cont = cont
         rv0 = program.result
         self.result_vals = cont[rv0].xs if rv0 in cont else None
-        mc = _MassCompiler(sizes, cont)
+
+        def _has_while(stmts):
+            return any(
+                isinstance(s, ast.While)
+                or (isinstance(s, ast.IfThenElse)
+                    and (_has_while(s.then) or _has_while(s.els)))
+                or (isinstance(s, ast.Normalize) and _has_while(s.stmts))
+                for s in stmts
+            )
+
+        if _has_while(rep.template):
+            # a While inside the lax.scan template would tap rest mass
+            # inside the scan body, where per-iteration rescaling makes
+            # the tap's unit scale iteration-dependent
+            raise UnsupportedForScan("while inside a repeated block")
+        mc = _MassCompiler(sizes, cont, unroll=unroll)
         pre_ap = mc.compile_block(rep.prologue)
         if mc.feeds:
             raise UnsupportedForScan("slots escaped into the prologue")
@@ -2254,9 +2354,17 @@ class ScanCompiled:
             return step
 
         has_scan = rep.n_iters > 0 and len(rep.template) > 0
+        taps = mc.rest_taps
 
         def run(g0, xs, consts):
+            # taps are appended during TRACING (While ops); collected
+            # per segment because the scan rescaling changes the unit
+            # scale between the prologue and the epilogue
+            taps.clear()
             g = pre_ap(g0, ((), consts))
+            rest_pre = (sum(taps) if taps
+                        else jnp.asarray(0.0, dtype=g.dtype))
+            taps.clear()
             m = jnp.max(g)
             e0 = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
             g = g / jnp.exp2(e0)
@@ -2265,9 +2373,12 @@ class ScanCompiled:
             else:
                 logz = e0
             g = post_ap(g, ((), consts))
+            rest_post = (sum(taps) if taps
+                         else jnp.asarray(0.0, dtype=g.dtype))
+            taps.clear()
             axes = tuple(a for a in range(len(sizes)) if a != rv)
             marg = jnp.sum(g, axis=axes) if axes else g
-            return marg, logz
+            return marg, logz, rest_pre, rest_post
 
         self._run = jax.jit(run)
         self._run_batch = jax.jit(jax.vmap(run, in_axes=(None, 0, None)))
@@ -2334,9 +2445,17 @@ class ScanCompiled:
         xs_stacked.append(valid)
         return tuple(jnp.asarray(a) for a in xs_stacked)
 
+    def _rest(self, logz, rest_pre, rest_post):
+        """Total rest mass in true units: prologue taps are pre-rescale,
+        epilogue taps carry the accumulated 2**logz scale."""
+        return (np.asarray(rest_pre, dtype=np.float64)
+                + np.asarray(rest_post, dtype=np.float64)
+                * 2.0 ** np.asarray(logz, dtype=np.float64))
+
     def run(self):
-        marg, logz = self._run(self._g0, self._xs, self._consts0)
+        marg, logz, rp, rq = self._run(self._g0, self._xs, self._consts0)
         masses = np.asarray(marg, dtype=np.float64) * 2.0 ** float(logz)
+        self.last_rest = float(self._rest(logz, rp, rq))
         return masses, float(masses.sum())
 
     def run_with_data(self, data_cols, params: Optional[dict] = None):
@@ -2349,8 +2468,9 @@ class ScanCompiled:
         )
         consts = self._consts(params) if params is not None \
             else self._consts0
-        marg, logz = self._run(self._g0, xs, consts)
+        marg, logz, rp, rq = self._run(self._g0, xs, consts)
         masses = np.asarray(marg, dtype=np.float64) * 2.0 ** float(logz)
+        self.last_rest = float(self._rest(logz, rp, rq))
         return masses, float(masses.sum())
 
     def run_batch(self, batch_cols):
@@ -2369,9 +2489,12 @@ class ScanCompiled:
         if not batch_cols:
             xs = self.prepare_xs([])
             xs = tuple(jnp.asarray(a)[None] for a in xs)
-            marg, logz = self._run_batch(self._g0, xs, self._consts0)
+            marg, logz, rp, rq = self._run_batch(
+                self._g0, xs, self._consts0
+            )
             scale = 2.0 ** np.asarray(logz, dtype=np.float64)
             masses = np.asarray(marg, dtype=np.float64) * scale[:, None]
+            self.last_rest = self._rest(logz, rp, rq)
             return masses, masses.sum(axis=1)
         cols = [np.asarray(c, dtype=np.float64) for c in batch_cols]
         B, n = cols[0].shape
@@ -2396,9 +2519,10 @@ class ScanCompiled:
             [np.ones((B, n)), np.zeros((B, cap - n))], axis=1
         )
         xs = tuple(xs_stacked) + (jnp.asarray(valid),)
-        marg, logz = self._run_batch(self._g0, xs, self._consts0)
+        marg, logz, rp, rq = self._run_batch(self._g0, xs, self._consts0)
         scale = 2.0 ** np.asarray(logz, dtype=np.float64)
         masses = np.asarray(marg, dtype=np.float64) * scale[:, None]
+        self.last_rest = self._rest(logz, rp, rq)
         return masses, masses.sum(axis=1)
 
     def run_param_sweep(self, settings, data_cols=None):
@@ -2423,25 +2547,29 @@ class ScanCompiled:
         consts = tuple(
             jnp.stack([cc[j] for cc in cper]) for j in range(len(self._const_feeds))
         )
-        marg, logz = self._run_sweep(self._g0, xs, consts)
+        marg, logz, rp, rq = self._run_sweep(self._g0, xs, consts)
         scale = 2.0 ** np.asarray(logz, dtype=np.float64)
         masses = np.asarray(marg, dtype=np.float64) * scale[:, None]
+        self.last_rest = self._rest(logz, rp, rq)
         return masses, masses.sum(axis=1)
 
 
 def compile_scan(program: ast.Program, order: int = 128,
                  min_iters: int = 4, max_order: int = 4096,
-                 rtol: float = 1e-12):
+                 rtol: float = 1e-12, unroll: int = 8):
     """Detect repetition, compile, and validate truncation by doubling
     the grid order until two consecutive orders agree to ``rtol``.
     Returns ``(masses, Z, obj)`` — ``obj.rep.n_iters`` is the detected
     iteration count and ``obj.result_vals`` the result variable's node
     values when it is continuous (None = integer grid, masses[k] is the
-    mass of value k).  Raises UnsupportedForScan if the program is
-    outside the fragment or never converges."""
+    mass of value k).  Programs with While loops report the mass still
+    live after ``unroll`` iterations as ``obj.last_rest`` (results are
+    lower bounds, reference-style intervals [x, x + rest]).  Raises
+    UnsupportedForScan if the program is outside the fragment or never
+    converges."""
     obj, (masses, Z) = compile_scan_program(
         program, order=order, min_iters=min_iters,
-        max_order=max_order, rtol=rtol,
+        max_order=max_order, rtol=rtol, unroll=unroll,
     )
     return masses, Z, obj
 
@@ -2450,22 +2578,12 @@ def compile_scan_program(program: ast.Program, order: int = 128,
                          min_iters: int = 4, max_order: int = 4096,
                          rtol: float = 1e-12,
                          max_steps: Optional[int] = None,
-                         params: Optional[dict] = None):
+                         params: Optional[dict] = None,
+                         unroll: int = 8):
     """Like :func:`compile_scan` but returns the converged
     :class:`ScanCompiled` object (for serving: ``run_with_data`` /
     ``run_batch``) together with its ``(masses, Z)`` on the committed
     dataset."""
-    def _no_while(stmts):
-        for s in stmts:
-            if isinstance(s, ast.While):
-                raise UnsupportedForScan("While statement")
-            if isinstance(s, ast.IfThenElse):
-                _no_while(s.then)
-                _no_while(s.els)
-            elif isinstance(s, ast.Normalize):
-                _no_while(s.stmts)
-
-    _no_while(program.stmts)
     casc = detect_cascade(program.stmts)
     rep = None
     if casc is None:
@@ -2513,9 +2631,14 @@ def compile_scan_program(program: ast.Program, order: int = 128,
             obj = CascadeCompiled(program, casc, o)
         else:
             obj = ScanCompiled(program, rep, o, max_steps=max_steps,
-                               params=params)
+                               params=params, unroll=unroll)
         cur = obj.run()
         if prev is not None:
+            r_prev = float(getattr(prev_obj, "last_rest", 0.0) or 0.0)
+            r_cur = float(getattr(obj, "last_rest", 0.0) or 0.0)
+            rest_ok = abs(r_prev - r_cur) <= rtol * max(
+                r_prev, r_cur, prev[1], cur[1], 1e-300
+            )
             # quadrature error never vanishes exactly: two orders whose
             # node grids came out IDENTICAL (the composite-GL panel/node
             # floors coincide at small orders) must not validate each
@@ -2551,7 +2674,7 @@ def compile_scan_program(program: ast.Program, order: int = 128,
                     abs(a - b) <= rtol * max(abs(a), abs(b), 1e-12)
                     for a, b in zip(sp, sc)
                 )
-                if ok:
+                if ok and rest_ok:
                     return prev_obj, prev
                 prev, prev_obj = cur, obj
                 o *= 2
@@ -2563,9 +2686,9 @@ def compile_scan_program(program: ast.Program, order: int = 128,
                 and z_prev == 0.0
                 and not np.any(m_prev)
             )
-            if zero_measure or (scale > 0.0 and np.allclose(
+            if rest_ok and (zero_measure or (scale > 0.0 and np.allclose(
                 m_prev[:k], m_cur[:k], rtol=rtol, atol=scale * 1e-15
-            ) and abs(z_prev - z_cur) <= rtol * scale):
+            ) and abs(z_prev - z_cur) <= rtol * scale)):
                 # the smaller grid is the validated one (it agrees with
                 # its doubling to rtol) — keep it: half the memory and
                 # traffic for serving reruns

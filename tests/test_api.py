@@ -107,12 +107,13 @@ def test_compile_serving():
     r2 = api.infer(src2)
     assert abs(Z2 - r2.total.to_float()) <= 1e-11 * r2.total.to_float()
 
-    import pytest
-
-    from genfer_tpu.scanc import UnsupportedForScan
-
-    with pytest.raises(UnsupportedForScan):
-        api.compile_serving(
-            "X := 0;\nwhile 0 ~ Bernoulli(1/2) { X += 1; }\nreturn X",
-            order=16,
-        )
+    # While programs compile with bounded unrolling; the mass still
+    # live after the unroll count is reported as last_rest (the CLI
+    # prints reference-style intervals from it)
+    wobj = api.compile_serving(
+        "X := 0;\nwhile 0 ~ Bernoulli(1/2) { X += 1; }\nreturn X",
+        order=16,
+    )
+    wm, wz = wobj.run()
+    assert wm[0] == 0.5 and wm[7] == 2.0 ** -8
+    assert wobj.last_rest == 2.0 ** -8

@@ -513,8 +513,7 @@ def test_scan_compiler_corpus_coverage():
     """Corpus-wide generality pin: every golden program in the mass-
     semantics fragment must compile (no silent shrinkage of the
     fragment) and reproduce its committed golden Z / unnormalized
-    masses.  Programs outside the fragment (continuous supports except
-    cascade quadrature, While loops) must fall back with
+    masses.  Programs outside the fragment must fall back with
     UnsupportedForScan — never crash."""
     import os
     import re as _re
@@ -577,12 +576,12 @@ def test_scan_compiler_corpus_coverage():
                 assert abs(masses[k] - v) <= max(1e-8 * abs(v), 1e-12), (
                     sgcl, k, masses[k], v
                 )
-    # fragment-size pin: the compiler covers 82 of these programs
-    # (109 of the full 122-file corpus since the continuous-grid
-    # extension; the rest are flag-skipped or in the heavy set above) —
-    # a real regression shows up as a big drop
-    assert compiled >= 78, f"only {compiled} corpus programs compiled"
-    assert fallbacks <= 17, f"{fallbacks} fallbacks — fragment shrank?"
+    # fragment-size pin: the compiler covers 86 of these programs
+    # (113 of the full 122-file corpus since the continuous-grid and
+    # while-loop extensions; the rest are flag-skipped or in the heavy
+    # set above) — a real regression shows up as a big drop
+    assert compiled >= 82, f"only {compiled} corpus programs compiled"
+    assert fallbacks <= 13, f"{fallbacks} fallbacks — fragment shrank?"
 
 
 @pytest.mark.parametrize("seed", range(8))
@@ -706,3 +705,86 @@ def test_continuous_grid_review_regressions():
     assert abs(Z - 1.0 / 3.0) <= 1e-14
     e = float((m * obj.result_vals).sum()) / Z
     assert abs(e - 0.75) <= 1e-13
+
+
+# ----------------------------------------------------------------------
+# While loops: bounded unrolling with rest-mass intervals
+# ----------------------------------------------------------------------
+
+WHILE_DIR = Path("/root/reference/test/expect/while")
+
+
+@pytest.mark.parametrize("name,flags", [
+    ("geometric-loop", ["--limit", "11"]),
+    ("geometric-loop-normalize", ["--limit", "11"]),
+    ("rw-asymm-0.75", ["--limit", "12"]),
+    ("rw-symm", ["--limit", "31"]),
+])
+def test_while_scan_cli_matches_golden(name, flags):
+    """The scan compiler's While support (bounded unrolling + rest-mass
+    taps) through the CLI must reproduce the committed interval goldens
+    line for line: interval moments (E in [lo, inf]), exact p(k) below
+    the unroll horizon, p(k) in [0, rest] beyond it, and the tail
+    bound (reference: semantics/gf.rs while rule; printing
+    main.rs:384-473)."""
+    from genfer_tpu.cli import main as cli_main
+
+    src = WHILE_DIR / f"{name}.sgcl"
+    expect = (WHILE_DIR / f"{name}.expect").read_text(encoding="utf-8")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli_main([str(src), "--no-timing", "--compile-scan", *flags])
+    got = buf.getvalue()
+    assert "falling back" not in got
+    def lines(t):
+        return [l for l in t.splitlines()
+                if not l.startswith("Time") and l.strip()]
+    assert lines(got) == lines(expect)
+
+
+def test_while_scan_rest_mass_direct():
+    """compile_scan on a geometric while loop: done masses are exact
+    powers of two and last_rest is the mass still live after the
+    unroll count."""
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import compile_scan
+
+    prog = parse_program(
+        "X := 0;\n"
+        "while 0 ~ Bernoulli(1/2) { X += 1; }\n"
+        "return X"
+    )
+    for unroll, order in ((8, 64), (14, 64)):
+        masses, Z, obj = compile_scan(prog, order=order, unroll=unroll)
+        for k in range(unroll):
+            assert masses[k] == 2.0 ** -(k + 1), (k, masses[k])
+        assert obj.last_rest == 2.0 ** -unroll
+        assert abs(Z - (1.0 - 2.0 ** -unroll)) <= 1e-15
+
+
+def test_while_scan_unsupported_shapes():
+    """While fragments the compiler must refuse (fall back to the
+    interpreter) rather than mis-compile."""
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import UnsupportedForScan, compile_scan
+
+    # while inside a normalize WITH given variables: per-slice rest
+    # bounds are not representable as one scalar tap
+    with pytest.raises(UnsupportedForScan):
+        compile_scan(parse_program(
+            "c ~ Bernoulli(1/2);\n"
+            "normalize c {\n"
+            "  X := 0;\n"
+            "  while 0 ~ Bernoulli(1/2) { X += 1; }\n"
+            "}\n"
+            "return X"
+        ), order=64)
+    # while with continuous quadrature grids
+    with pytest.raises(UnsupportedForScan):
+        compile_scan(parse_program(
+            "P ~ UniformCont(0, 1);\n"
+            "X := 0;\n"
+            "while 0 ~ Bernoulli(1/2) { X += 1; }\n"
+            "observe 1 ~ Bernoulli(P);\n"
+            "return X"
+        ), order=64)
