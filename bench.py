@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -934,14 +935,22 @@ def bench_order_scaling(limits=(256, 512), orders=(256, 384, 512)):
             row["pallas_rel_err"] = pal["max_rel_err_vs_f64"]
         except Exception as e:  # noqa: BLE001 - no TPU / interpret-only env
             row["pallas_f32_ms"] = f"unavailable: {e}"
-        g, dt = bench_kernel(order=order, ndim=2)
-        row["f64_xla_ms"] = round(dt * 1e3, 2)
-        row["f64_xla_gflops"] = round(g, 1)
+        # each row independently fault-tolerant: a worker OOM at one
+        # order (RESOURCE_EXHAUSTED from buffers lingering after the
+        # highorder section) must not erase the other rows
+        try:
+            g, dt = bench_kernel(order=order, ndim=2)
+            row["f64_xla_ms"] = round(dt * 1e3, 2)
+            row["f64_xla_gflops"] = round(g, 1)
+        except Exception as e:  # noqa: BLE001
+            dt = None
+            row["f64_xla_ms"] = f"unavailable: {e}"
         hg, hdt = bench_host_kernel(order=order, ndim=2)
         if hg is not None:
             row["host_cpp_ms"] = round(hdt * 1e3, 2)
             row["host_cpp_gflops"] = round(hg, 1)
-            row["f64_vs_host"] = round(hdt / dt, 2)
+            if dt is not None:
+                row["f64_vs_host"] = round(hdt / dt, 2)
         print(f"  kernel order {order}: {row}", file=sys.stderr)
         results["kernel"][order] = row
 
@@ -1005,6 +1014,39 @@ def bench_order_scaling(limits=(256, 512), orders=(256, 384, 512)):
         "above at high order"
     )
     return results
+
+
+def _ensure_native_built() -> None:
+    """Build the C++ extensions if any is missing or unimportable.
+
+    A fresh checkout carries the sources but may lack a loadable
+    ``_evaltape`` (ABI drift, cleaned tree); benching the interpreter
+    without the native evaluator silently reports the slow Python-path
+    numbers (this shipped once: suite mixture 82.6 s instead of ~10 s).
+    Best-effort: a failed build leaves the Python fallbacks in place."""
+    import importlib
+    import subprocess
+
+    missing = []
+    for mod in ("_seriesops", "_exactops", "_evaltape"):
+        try:
+            importlib.import_module(f"genfer_tpu.{mod}")
+        except ImportError:
+            missing.append(mod)
+    if not missing:
+        return
+    build = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "native", "build.py")
+    print(f"bench: native extensions missing {missing}; building...",
+          file=sys.stderr)
+    try:
+        subprocess.run([sys.executable, build], check=True, timeout=600,
+                       capture_output=True)
+        print("bench: native build OK", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - fallbacks still work
+        print(f"bench: native build failed ({e}); Python fallbacks in use "
+              "— interpreter timings will NOT reflect the native tape",
+              file=sys.stderr)
 
 
 def _probe_device(timeout_s: float = 120.0) -> str:
@@ -1071,6 +1113,7 @@ def main():
         args.scan = True
         args.highorder = True
 
+    _ensure_native_built()
     device = _probe_device()
     gflops, dt = bench_kernel(order=args.order, ndim=args.ndim)
     print(
@@ -1166,12 +1209,14 @@ def main():
         section("population_scan", bench_population_scan)
         section("cascade_switchpoint", bench_cascade_switchpoint)
         section("nested_enumeration", bench_nested)
+    # scaling before highorder: the order-2048 f64 run leaves multi-GB
+    # buffers on the TPU worker that can RESOURCE_EXHAUST later compiles
+    if args.scaling:
+        section("scaling", bench_order_scaling)
     if args.highorder:
         section("highorder_conv", bench_highorder)
     if args.suite:
         section("suite", bench_suite)
-    if args.scaling:
-        section("scaling", bench_order_scaling)
     vs = gflops / host_gflops if host_gflops else gflops
     print(
         json.dumps(
