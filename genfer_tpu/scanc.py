@@ -429,14 +429,10 @@ def _cont_domain(dist):
     if isinstance(dist, ast.Gamma):
         a = _static_ratio_f(dist.shape)
         b = _static_ratio_f(dist.rate)
-        if a < 1.0:
-            # the pdf is singular at 0 (x^{a-1}): fixed-panel quadrature
-            # converges to a plateau that can FOOL the grid-doubling
-            # check (measured: Gamma(0.25, 0.1) sat at Z=0.9307 across
-            # three doublings) — reject, the interpreter handles it
-            raise UnsupportedForScan(
-                "Gamma shape < 1 (singular pdf) on a quadrature grid"
-            )
+        # shape < 1 has a singular pdf at 0 (x^{a-1}); the grid builder
+        # removes the singularity analytically with the u = x^a power
+        # substitution (see grid_sizes) — the raw x-domain stays the
+        # same tail-bounded interval
         return 0.0, (a + 40.0 * math.sqrt(a + 1.0) + 120.0) / b
     raise UnsupportedForScan(f"continuous grid for {dist}")
 
@@ -625,11 +621,38 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
                     "mixed Dirac/continuous sampling of one var"
                 )
             lo = hi = None
+            warp = None  # u = x^warp substitution (Gamma shape < 1)
             for d in dists:
                 dl, dh = _cont_domain(d)
                 lo = dl if lo is None else min(lo, dl)
                 hi = dh if hi is None else max(hi, dh)
-            xs, gw = _quad_grid(lo, hi, order)
+                if isinstance(d, ast.Gamma):
+                    a = _static_ratio_f(d.shape)
+                    if a < 1.0:
+                        warp = a if warp is None else min(warp, a)
+            if warp is None:
+                xs, gw = _quad_grid(lo, hi, order)
+            else:
+                # Gamma(a < 1) pdf is singular at 0 (x^{a-1}): naive
+                # panels plateau and FOOL the doubling check (measured:
+                # Gamma(0.25, 0.1) stable at Z=0.9307 across three
+                # doublings, truth 1.0).  Substituting x = u^{1/a}
+                # cancels the singularity ANALYTICALLY:
+                # x^{a-1} e^{-bx} dx = (1/a) e^{-b u^{1/a}} du — the
+                # u-integrand is smooth (analytic when 1/a is integral),
+                # so composite GL converges spectrally again.  The grid
+                # stores x-nodes with dx-measure weights gw = du·dx/du;
+                # every density on the grid (pdf(x)·gw) stays correct,
+                # including other priors sharing the variable (a shape
+                # a2 > warp contributes u^{(a2-warp)/warp}: bounded).
+                if lo != 0.0:  # pragma: no cover - gamma domains are
+                    raise UnsupportedForScan(  # [0, hi], uniforms >= 0
+                        "power-warped grid with nonzero lower bound"
+                    )
+                us, uw = _quad_grid(0.0, hi ** warp, order)
+                inv = 1.0 / warp
+                xs = us ** inv
+                gw = uw * inv * us ** (inv - 1.0)
             cont[v] = _ContGrid(xs, gw)
         sampled = _check_cont_sampled_first(program.stmts, set(cont), set())
         if program.result in cont and program.result not in sampled:
@@ -2620,9 +2643,14 @@ def compile_scan_program(program: ast.Program, order: int = 128,
                 None if xs is None else xs.tobytes())
 
     def _uses_quadrature(obj):
-        return bool(getattr(obj, "cont", None)) or bool(
-            getattr(obj, "_continuous", False)
-        )
+        # Dirac value grids are EXACT (the nodes are the support values
+        # with unit weights — no quadrature error), so identical grids
+        # across a doubling validate like pure integer grids; only a
+        # true quadrature grid needs the grids-must-differ rule.
+        cont = getattr(obj, "cont", None)
+        if cont and any(not g.dirac for g in cont.values()):
+            return True
+        return bool(getattr(obj, "_continuous", False))
 
     prev = prev_obj = None
     o = order

@@ -707,6 +707,72 @@ def test_continuous_grid_review_regressions():
     assert abs(e - 0.75) <= 1e-13
 
 
+def test_dirac_value_grids_exact():
+    """Fractional Dirac supports are EXACT value grids (unit weights at
+    the support values): they validate on the first doubling like
+    integer grids instead of tripping the identical-quadrature-grid
+    rule (which once pushed them past max_order).  Expected values from
+    the committed reference goldens (test/expect/sample/
+    dirac-fractional.expect, test/expect/observe/dirac-bernoulli.expect:
+    Z = 1, E = 0.5 and Z = 0.25, E = 0.5)."""
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import compile_scan
+
+    src = Path(
+        "/root/reference/test/expect/sample/dirac-fractional.sgcl"
+    ).read_text()
+    m, Z, obj = compile_scan(parse_program(src), order=16)
+    assert Z == 1.0
+    assert float((m * obj.result_vals).sum()) / Z == 0.5
+
+    src = Path(
+        "/root/reference/test/expect/observe/dirac-bernoulli.sgcl"
+    ).read_text()
+    m, Z, obj = compile_scan(parse_program(src), order=16)
+    assert abs(Z - 0.25) <= 1e-15
+    assert abs(float((m * obj.result_vals).sum()) / Z - 0.5) <= 1e-15
+
+
+@pytest.mark.parametrize("shape", [0.25, 0.5, 0.7])
+def test_gamma_shape_lt1_exact_conjugacy(shape):
+    """Gamma priors with shape < 1 (singular pdf at 0) run on the
+    power-warped grid u = x^shape, which cancels the singularity
+    analytically — the raw-x grid plateaued and FOOLED the doubling
+    validation (measured Z = 0.9307 stable across doublings, truth 1).
+    Cross-checked against exact Gamma moments and exact Gamma-Poisson
+    conjugacy (reference corpus: sample/gamma.sgcl,
+    observe/poisson-conjugate-prior-gamma.sgcl)."""
+    import math
+
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import compile_scan
+
+    b = 0.1
+    m, Z, obj = compile_scan(parse_program(
+        f"X ~ Gamma({shape}, {b});\nreturn X"
+    ), order=64)
+    assert abs(Z - 1.0) <= 1e-11
+    for k in (1, 2, 3, 4):
+        mk = float((m * obj.result_vals ** k).sum()) / Z
+        exact = math.prod((shape + i) / b for i in range(k))
+        assert abs(mk - exact) <= 1e-10 * exact, (k, mk, exact)
+
+    # conjugate update: observe c ~ Poisson(X) => Gamma(shape+c, 1+b)
+    c = 4
+    m, Z, obj = compile_scan(parse_program(
+        f"X ~ Gamma({shape}, {b});\nobserve {c} ~ Poisson(X);\nreturn X"
+    ), order=64)
+    ap, bp = shape + c, 1.0 + b
+    z_exact = (math.gamma(ap) / math.gamma(shape)) * (
+        b ** shape / bp ** ap
+    ) / math.factorial(c)
+    assert abs(Z - z_exact) <= 1e-11 * z_exact
+    for k in (1, 2, 3):
+        mk = float((m * obj.result_vals ** k).sum()) / Z
+        exact = math.prod((ap + i) / bp for i in range(k))
+        assert abs(mk - exact) <= 1e-10 * exact, (k, mk, exact)
+
+
 # ----------------------------------------------------------------------
 # While loops: bounded unrolling with rest-mass intervals
 # ----------------------------------------------------------------------
