@@ -541,6 +541,135 @@ def _check_cont_sampled_first(stmts, cont_vars: set, sampled: set) -> set:
     return sampled
 
 
+_DENSITY_DISTS = (ast.UniformCont, ast.Exponential, ast.Gamma)
+
+_VAR_DISTS = (ast.BinomialVarTrials, ast.PoissonVarRate,
+              ast.NegBinomialVarSuccesses, ast.BernoulliVarProb)
+
+
+def _is_cont_valued(dist) -> bool:
+    """Sampling from ``dist`` leaves the variable holding a value that
+    needs a VALUE grid (continuous density or fractional Dirac)."""
+    if isinstance(dist, _DENSITY_DISTS):
+        return True
+    if isinstance(dist, ast.Dirac):
+        try:
+            a = _ratio_f(dist.a)
+        except UnsupportedForScan:
+            return False
+        return a != int(a)
+    return False
+
+
+def _sub_event(ev, m: dict):
+    if isinstance(ev, ast.InSet):
+        return dataclasses.replace(ev, var=m.get(ev.var, ev.var))
+    if isinstance(ev, ast.VarComparison):
+        return dataclasses.replace(
+            ev, v1=m.get(ev.v1, ev.v1), v2=m.get(ev.v2, ev.v2)
+        )
+    if isinstance(ev, ast.DataFromDist):
+        d = ev.dist
+        if hasattr(d, "var") and d.var in m:
+            return dataclasses.replace(
+                ev, dist=dataclasses.replace(d, var=m[d.var])
+            )
+        return ev
+    if isinstance(ev, ast.Complement):
+        return dataclasses.replace(ev, event=_sub_event(ev.event, m))
+    if isinstance(ev, ast.Intersection):
+        return dataclasses.replace(
+            ev, events=tuple(_sub_event(e, m) for e in ev.events)
+        )
+    return ev
+
+
+def _sub_stmt(s, m: dict):
+    """Statement with every variable reference substituted through m
+    (targets included: the map renames the *name*, not one use)."""
+    if not m:
+        return s
+    if isinstance(s, ast.Sample):
+        d = s.distribution
+        if hasattr(d, "var") and d.var in m:
+            d = dataclasses.replace(d, var=m[d.var])
+        return dataclasses.replace(s, var=m.get(s.var, s.var),
+                                   distribution=d)
+    if isinstance(s, ast.Assign):
+        add = s.addend
+        if add is not None and add[1] in m:
+            add = (add[0], m[add[1]])
+        return dataclasses.replace(s, var=m.get(s.var, s.var),
+                                   addend=add)
+    if isinstance(s, ast.Decrement):
+        return dataclasses.replace(s, var=m.get(s.var, s.var))
+    if isinstance(s, ast.IfThenElse):
+        return dataclasses.replace(
+            s, cond=_sub_event(s.cond, m),
+            then=tuple(_sub_stmt(t, m) for t in s.then),
+            els=tuple(_sub_stmt(t, m) for t in s.els),
+        )
+    if isinstance(s, ast.While):
+        return dataclasses.replace(
+            s, cond=_sub_event(s.cond, m),
+            body=tuple(_sub_stmt(t, m) for t in s.body),
+        )
+    if isinstance(s, ast.Normalize):
+        return dataclasses.replace(
+            s, given_vars=tuple(m.get(v, v) for v in s.given_vars),
+            stmts=tuple(_sub_stmt(t, m) for t in s.stmts),
+        )
+    return s
+
+
+def _rename_type_changes(program: ast.Program) -> ast.Program:
+    """SSA-lite pre-pass: rewrite ``X ~ D(X)`` — a variable holding a
+    CONTINUOUS value resampled from a discrete distribution
+    parameterized by itself (reference semantics: the new draw depends
+    on the old value, then replaces it; e.g. sample/
+    bernoulli-compound-same-var.sgcl, sample/exponential-poisson.sgcl)
+    — into ``X' ~ D(X)`` with a fresh ``X'`` substituted into every
+    later reference.  One variable then lives on ONE static grid per
+    axis (the continuous prior keeps its quadrature grid, the discrete
+    redraw gets an integer grid) and the existing continuous-parent
+    kernels apply.  Purely a renaming: the joint semantics are
+    untouched.  Top-level straight-line only; at most one rename per
+    variable (a repeated continuous->discrete->continuous cycle returns
+    the program unchanged, falling back to the interpreter rather than
+    growing an axis per occurrence)."""
+    m: dict = {}
+    cont_now: set = set()
+    renamed: set = set()
+    next_id = program.used_vars()
+    out = []
+    for s in program.stmts:
+        s = _sub_stmt(s, m)
+        if isinstance(s, ast.Sample) and not s.add_previous_value:
+            d = s.distribution
+            if (isinstance(d, _VAR_DISTS) and d.var == s.var
+                    and s.var in cont_now):
+                if s.var in renamed:
+                    return program  # second cycle: interpreter path
+                fresh = next_id
+                next_id += 1
+                m[s.var] = fresh
+                renamed.add(fresh)
+                cont_now.discard(s.var)
+                out.append(dataclasses.replace(s, var=fresh))
+                continue
+            if _is_cont_valued(d):
+                cont_now.add(s.var)
+            elif not isinstance(d, _VAR_DISTS) or d.var != s.var:
+                cont_now.discard(s.var)
+        out.append(s)
+    if not m:
+        return program
+    return dataclasses.replace(
+        program, stmts=tuple(out),
+        result=m.get(program.result, program.result),
+    )
+
+
 def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
     """Per-variable axis sizes plus the continuous value grids.
 
@@ -2607,6 +2736,7 @@ def compile_scan_program(program: ast.Program, order: int = 128,
     :class:`ScanCompiled` object (for serving: ``run_with_data`` /
     ``run_batch``) together with its ``(masses, Z)`` on the committed
     dataset."""
+    program = _rename_type_changes(program)
     casc = detect_cascade(program.stmts)
     rep = None
     if casc is None:

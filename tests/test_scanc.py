@@ -773,6 +773,40 @@ def test_gamma_shape_lt1_exact_conjugacy(shape):
         assert abs(mk - exact) <= 1e-10 * exact, (k, mk, exact)
 
 
+def test_type_changing_self_resample():
+    """`X ~ D(X)` with X continuous — the variable is overwritten by a
+    discrete draw parameterized by its own (continuous) old value — is
+    handled by the SSA-lite rename pre-pass: the redraw gets a fresh
+    integer axis and the existing continuous-parent kernels apply.
+    Expected values from the committed goldens (test/expect/sample/
+    bernoulli-compound-same-var.expect: E = 0.25;
+    exponential-poisson.expect: E = 10, exact Geometric(1/11))."""
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import compile_scan
+
+    src = Path(
+        "/root/reference/test/expect/sample/bernoulli-compound-same-var"
+        ".sgcl"
+    ).read_text()
+    m, Z, obj = compile_scan(parse_program(src), order=64)
+    assert obj.result_vals is None  # integer grid after the redraw
+    assert abs(Z - 1.0) <= 1e-13
+    assert abs(m[1] - 0.25) <= 1e-13 and abs(m[0] - 0.75) <= 1e-13
+
+    src = Path(
+        "/root/reference/test/expect/sample/exponential-poisson.sgcl"
+    ).read_text()
+    m, Z, obj = compile_scan(parse_program(src), order=64)
+    assert abs(Z - 1.0) <= 1e-12
+    # X ~ Geometric(0.1 / 1.1) exactly (the reference file's own note)
+    p = 0.1 / 1.1
+    ks = np.arange(min(len(m), 40))
+    exact = p * (1 - p) ** ks
+    np.testing.assert_allclose(m[:len(ks)], exact, rtol=1e-11)
+    E = float((m * np.arange(len(m))).sum()) / Z
+    assert abs(E - 10.0) <= 1e-9
+
+
 # ----------------------------------------------------------------------
 # While loops: bounded unrolling with rest-mass intervals
 # ----------------------------------------------------------------------
