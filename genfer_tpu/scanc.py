@@ -536,7 +536,8 @@ def _check_cont_sampled_first(stmts, cont_vars: set, sampled: set) -> set:
             )
         if isinstance(s, ast.Sample) and not s.add_previous_value:
             sampled.add(s.var)
-        elif _is_copy_assign(s):
+        elif isinstance(s, ast.Assign) and not s.add_previous_value:
+            # fresh value (constant or affine of reads checked above)
             sampled.add(s.var)
     return sampled
 
@@ -670,6 +671,107 @@ def _rename_type_changes(program: ast.Program) -> ast.Program:
     )
 
 
+_DIRAC_SET_CAP = 256
+
+
+def _dirac_value_sets(stmts, dvars: set, bound, infinite, quad: set):
+    """Forward may-analysis of the value sets of dirac-class continuous
+    variables (defined only by fractional Dirac samples and affine
+    assignments — reference corpus: test/expect/assign/*-cont.sgcl).
+    The union over all program points is each variable's static value
+    grid; affine ops become index kernels on it.  Value arithmetic here
+    uses the EXACT float expressions the kernel builders use
+    (``y + (f*x + off)``), so kernel-time lookups match bit-for-bit.
+    May-union over branches is sound: a superset grid only adds
+    never-hit nodes."""
+    vals: dict = {v: set() for v in dvars}
+
+    def src_vals(w):
+        if w in vals:
+            if not vals[w]:
+                raise UnsupportedForScan(
+                    "dirac-grid var read before its first definition"
+                )
+            return vals[w]
+        if w in quad:
+            raise UnsupportedForScan(
+                "affine assignment from a quadrature grid"
+            )
+        if infinite[w]:
+            raise UnsupportedForScan(
+                "affine dirac assignment from an unbounded var"
+            )
+        if bound[w] > _DIRAC_SET_CAP:
+            raise UnsupportedForScan("dirac assignment source too large")
+        return {float(k) for k in range(bound[w])}
+
+    def visit(block):
+        for s in block:
+            if isinstance(s, ast.IfThenElse):
+                visit(s.then)
+                visit(s.els)
+            elif isinstance(s, ast.Normalize):
+                visit(s.stmts)
+            elif isinstance(s, ast.While):
+                if _writes_any(s.body, dvars):
+                    raise UnsupportedForScan(
+                        "dirac-grid assignment inside a while loop"
+                    )
+            elif isinstance(s, ast.Sample) and s.var in dvars:
+                d = s.distribution
+                if not isinstance(d, ast.Dirac) or s.add_previous_value:
+                    raise UnsupportedForScan(
+                        f"dirac-grid var sampled from {d}"
+                    )
+                vals[s.var].add(_static_ratio_f(d.a))
+            elif isinstance(s, ast.Assign) and s.var in dvars:
+                off = s.offset
+                if isinstance(off, Slot) or (
+                    s.addend is not None and isinstance(s.addend[0], Slot)
+                ):
+                    raise UnsupportedForScan(
+                        "varying dirac assignment constant"
+                    )
+                off = float(off)
+                if s.addend is None:
+                    adds = {off}
+                else:
+                    f, w = s.addend
+                    adds = {f * x + off for x in src_vals(w)}
+                if s.add_previous_value:
+                    vals[s.var] |= {
+                        y + a for y in src_vals(s.var) for a in adds
+                    }
+                else:
+                    vals[s.var] |= adds
+                if len(vals[s.var]) > _DIRAC_SET_CAP:
+                    raise UnsupportedForScan("dirac value grid too large")
+            elif isinstance(s, ast.Decrement) and s.var in dvars:
+                raise UnsupportedForScan(
+                    "decrement on a dirac value grid"
+                )
+
+    visit(stmts)
+    return vals
+
+
+def _writes_any(block, dvars: set) -> bool:
+    for s in block:
+        if isinstance(s, (ast.Sample, ast.Assign, ast.Decrement)):
+            if s.var in dvars:
+                return True
+        elif isinstance(s, ast.IfThenElse):
+            if _writes_any(s.then, dvars) or _writes_any(s.els, dvars):
+                return True
+        elif isinstance(s, ast.While):
+            if _writes_any(s.body, dvars):
+                return True
+        elif isinstance(s, ast.Normalize):
+            if _writes_any(s.stmts, dvars):
+                return True
+    return False
+
+
 def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
     """Per-variable axis sizes plus the continuous value grids.
 
@@ -728,23 +830,33 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
                             changed = True
             if not changed:
                 break
+        dirac_class = []
         for v in range(nv):
             if not is_cont[v]:
                 continue
-            ss = samples.get(v)
-            if not ss:
-                raise UnsupportedForScan(
-                    f"continuous {ast.var_name(v)} never sampled directly"
-                )
-            if any(s.add_previous_value for s in ss):
-                raise UnsupportedForScan(
-                    "additive sample on a continuous var"
-                )
+            ss = samples.get(v, [])
             dists = [s.distribution for s in ss]
-            if all(isinstance(d, ast.Dirac) for d in dists):
-                vals = sorted({_static_ratio_f(d.a) for d in dists})
-                cont[v] = _ContGrid(vals, np.ones(len(vals)), dirac=True)
+            if not any(isinstance(d, _DENSITY_DISTS) for d in dists):
+                # defined only by fractional Diracs and/or affine
+                # assignments: a finite value set — computed by the
+                # forward value-set analysis below (second pass, after
+                # the quadrature grids exist so sources can be checked)
+                dirac_class.append(v)
                 continue
+            compounds = [s for s in ss if s.add_previous_value]
+            for s in compounds:
+                d = s.distribution
+                if not (isinstance(d, ast.BernoulliVarProb)
+                        and d.var == v):
+                    raise UnsupportedForScan(
+                        "additive sample on a continuous var"
+                    )
+            if len(compounds) > 1:
+                raise UnsupportedForScan(
+                    "multiple additive compounds on one continuous var"
+                )
+            dists = [s.distribution for s in ss
+                     if not s.add_previous_value]
             if any(isinstance(d, ast.Dirac) for d in dists):
                 raise UnsupportedForScan(
                     "mixed Dirac/continuous sampling of one var"
@@ -782,7 +894,35 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
                 inv = 1.0 / warp
                 xs = us ** inv
                 gw = uw * inv * us ** (inv - 1.0)
+            if compounds:
+                # `v +~ Bernoulli(v)`: the value support doubles to
+                # {x, x+1}.  Shifted nodes carry ZERO quadrature weight
+                # — no density can deposit prior mass there; they only
+                # receive mass through the compound kernel (and a later
+                # fresh density sample correctly re-concentrates on the
+                # weighted nodes, since sampling is marginalize+outer)
+                xs = np.concatenate([xs, xs + 1.0])
+                gw = np.concatenate([gw, np.zeros(len(gw))])
             cont[v] = _ContGrid(xs, gw)
+        if dirac_class:
+            for v in dirac_class:
+                if any(s.add_previous_value for s in samples.get(v, [])):
+                    raise UnsupportedForScan(
+                        "additive sample on a continuous var"
+                    )
+            sets = _dirac_value_sets(
+                program.stmts, set(dirac_class), bound, infinite,
+                set(cont),
+            )
+            for v in dirac_class:
+                vv = sets[v]
+                if not vv:
+                    raise UnsupportedForScan(
+                        f"continuous {ast.var_name(v)} never defined"
+                    )
+                cont[v] = _ContGrid(
+                    sorted(vv), np.ones(len(vv)), dirac=True
+                )
         sampled = _check_cont_sampled_first(program.stmts, set(cont), set())
         if program.result in cont and program.result not in sampled:
             # the result var's VALUE is consumed (moments): mass left at
@@ -1440,6 +1580,32 @@ class _MassCompiler:
                 return m * vec(xs).reshape(sh)
             return ap
         if v in self.cont:
+            g = self.cont[v]
+            if (stmt.add_previous_value
+                    and isinstance(dist, ast.BernoulliVarProb)
+                    and dist.var == v):
+                # v +~ Bernoulli(v) on the extended value grid (the
+                # grid holds both x and x+1; see grid_sizes): node x
+                # keeps mass with 1-x and moves it to node x+1 with x.
+                # Nodes outside [0, 1] are invalid Bernoulli parameters
+                # and can carry no live mass here (a single compound
+                # per var, enforced at grid build) — zero row, matching
+                # the engine's graceful zero-mass convention.
+                xs_nodes = g.xs
+                nn = len(xs_nodes)
+                K = np.zeros((nn, nn))
+                for i, x in enumerate(xs_nodes):
+                    if x < 0.0 or x > 1.0:
+                        continue
+                    j = np.where(
+                        np.abs(xs_nodes - (x + 1.0))
+                        <= 1e-12 * (x + 1.0)
+                    )[0]
+                    K[i, i] = 1.0 - x
+                    if len(j) == 1:
+                        K[i, int(j[0])] = x
+                arr = jnp.asarray(K)
+                return lambda g_, xs: self._matrix_apply(g_, v, arr)
             raise UnsupportedForScan(
                 "var-parameterized sample into a continuous grid"
             )
@@ -1528,8 +1694,9 @@ class _MassCompiler:
         if v in self.cont or (
             stmt.addend is not None and stmt.addend[1] in self.cont
         ):
-            # the one grid-exact continuous assignment: a pure value
-            # copy between IDENTICAL value grids (index copy)
+            # the one grid-exact continuous assignment between
+            # QUADRATURE grids: a pure value copy between IDENTICAL
+            # grids (index copy)
             w = stmt.addend[1] if stmt.addend is not None else None
             if (
                 _is_copy_assign(stmt) and w != v
@@ -1549,6 +1716,12 @@ class _MassCompiler:
                     return m * arr
 
                 return ap
+            gv = self.cont.get(v)
+            gw = self.cont.get(w) if w is not None else None
+            if (gv is None or gv.dirac) and (gw is None or gw.dirac):
+                # finite value sets on every participating axis:
+                # affine ops are index kernels on the dirac value grids
+                return self._value_assign_op(stmt)
             raise UnsupportedForScan("assignment on a continuous grid")
         n = self.sizes[v]
         off = stmt.offset
@@ -1597,6 +1770,119 @@ class _MassCompiler:
         def ap(g, xs):
             m = jnp.sum(g, axis=v, keepdims=True)
             return m * arr
+        return ap
+
+    def _value_assign_op(self, stmt: ast.Assign) -> Callable:
+        """Affine assignment where some participating axis is a Dirac
+        VALUE grid: destinations are found by value lookup (the grids
+        were built by _dirac_value_sets from the SAME float
+        expressions, so lookups match exactly).  An integer target
+        rounds and drops out-of-range mass like the integer path."""
+        jnp = self.jnp
+        v = stmt.var
+        n = self.sizes[v]
+        tvals = self._vals(v)
+        t_is_value = v in self.cont
+        off = stmt.offset
+        if isinstance(off, Slot):
+            raise UnsupportedForScan("varying assignment offset")
+        off = float(off)
+
+        def dcol(x):
+            """Destination column for value x (None = dropped).  A
+            destination MISSING from a value grid is exact to drop: the
+            grid is the forward may-analysis union, so a source value
+            whose image is absent was proven impossible at this site —
+            its row carries zero mass (e.g. Y += 2X+1 enumerates grid
+            node 2.5 as a source, but 2.5 only EXISTS after the +=)."""
+            if t_is_value:
+                j = np.where(
+                    np.abs(tvals - x) <= 1e-12 * max(1.0, abs(x))
+                )[0]
+                if len(j) > 1:
+                    raise UnsupportedForScan(
+                        "ambiguous value match on the value grid"
+                    )
+                return int(j[0]) if len(j) == 1 else None
+            d = int(round(x))
+            if abs(x - d) > 1e-9 or d < 0:
+                raise UnsupportedForScan(
+                    "non-integer value assigned to an integer grid"
+                )
+            return d if d < n else None
+
+        def outer_from(rows: np.ndarray, w: int, nw: int):
+            I = rows if w < v else rows.T
+            arr = jnp.asarray(I.reshape(self._bshape2(w, nw, v, n)))
+
+            def ap(g, xs):
+                m = jnp.sum(g, axis=v, keepdims=True)
+                return m * arr
+
+            return ap
+
+        if stmt.addend is None:
+            if not stmt.add_previous_value:
+                row = np.zeros(n)
+                j = dcol(off)
+                if j is not None:
+                    row[j] = 1.0
+                arr = jnp.asarray(row.reshape(self._bshape(v, n)))
+
+                def ap(g, xs):
+                    m = jnp.sum(g, axis=v, keepdims=True)
+                    return m * arr
+
+                return ap
+            M = np.zeros((n, n))
+            for t in range(n):
+                j = dcol(tvals[t] + off)
+                if j is not None:
+                    M[t, j] = 1.0
+            K = jnp.asarray(M)
+            return lambda g, xs: self._matrix_apply(g, v, K)
+        f, w = stmt.addend
+        if isinstance(f, Slot):
+            raise UnsupportedForScan("varying assignment factor")
+        if w == v:
+            M = np.zeros((n, n))
+            for t in range(n):
+                a = f * tvals[t] + off
+                j = dcol(tvals[t] + a if stmt.add_previous_value else a)
+                if j is not None:
+                    M[t, j] = 1.0
+            K = jnp.asarray(M)
+            return lambda g, xs: self._matrix_apply(g, v, K)
+        nw = self.sizes[w]
+        wvals = self._vals(w)
+        if not stmt.add_previous_value:
+            I = np.zeros((nw, n))
+            for s in range(nw):
+                j = dcol(f * wvals[s] + off)
+                if j is not None:
+                    I[s, j] = 1.0
+            return outer_from(I, w, nw)
+        # v += f*w + off across distinct axes: pair kernel T[s, t, d]
+        if nw * n > 4096:
+            raise UnsupportedForScan(
+                "dirac pair-assignment grid too large"
+            )
+        T = np.zeros((nw, n, n))
+        for s in range(nw):
+            a = f * wvals[s] + off
+            for t in range(n):
+                j = dcol(tvals[t] + a)
+                if j is not None:
+                    T[s, t, j] = 1.0
+        Tj = jnp.asarray(T)
+
+        def ap(g, xs):
+            h = jnp.moveaxis(g, (w, v), (0, 1))
+            sh = h.shape
+            h2 = h.reshape(nw, n, -1)
+            out = jnp.einsum("stb,std->sdb", h2, Tj)
+            return jnp.moveaxis(out.reshape(sh), (0, 1), (w, v))
+
         return ap
 
 
