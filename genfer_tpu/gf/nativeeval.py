@@ -38,7 +38,12 @@ def _mode() -> str:
     return os.environ.get("GENFER_NATIVE_EVAL", "1")
 
 
-_BUDGET_MB = int(os.environ.get("GENFER_NATIVE_EVAL_BUDGET_MB", "4096"))
+# 256 MB, not "as much as fits": on the deployment microVM a fresh page
+# costs ~25 us to fault in (userfault-backed memory, measured 0.13 GB/s
+# first-touch), so a large retained memo trades negligible recompute for
+# massive kernel time — mixture: 4096 MB budget = 43 s wall / 36 s sys,
+# 256 MB = 7 s wall / 0.4 s sys, identical output.
+_BUDGET_MB = int(os.environ.get("GENFER_NATIVE_EVAL_BUDGET_MB", "256"))
 
 # kind codes (must match the Kind enum in native/evaltape_eval.inc)
 _KIND_CODE = {

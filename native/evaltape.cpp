@@ -35,6 +35,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <list>
 #include <memory>
@@ -59,6 +60,17 @@ struct Unsupported {
 // flat f64 buffer with optionally-skipped zero-initialization (numpy
 // allocates uninitialized and writes every element; mirroring that
 // halves memory traffic on full-overwrite results)
+//
+// Allocation policy note (measured on the deployment microVM kernel):
+// a FIRST touch of a fresh page costs ~25-29 us there (userfault-backed
+// guest memory; 0.13 GB/s fresh vs 52 GB/s warm re-touch), so the
+// evaluator's wall time tracks its peak unique footprint, not its alloc
+// churn — glibc's warm reuse of freed chunks is free, and an exact-size
+// freelist pool measured NEUTRAL wall-time-wise while inflating RSS 34%
+// (it defeats malloc's cross-size coalescing).  Plain new[]/delete[] is
+// therefore the right backend; the lever that matters is the memo
+// budget below (4 GB retained = 1.4e6 faults = 36 s sys on the mixture
+// golden; 256 MB = 0.4 s sys, recompute cost in the noise).
 struct RawBuf {
     std::unique_ptr<double[]> p;
     size_t n;
