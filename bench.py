@@ -652,6 +652,7 @@ def bench_highorder(orders=(1024, 2048)):
                 row[name] = f"FAILED {type(e).__name__}: {e}"
             print(f"highorder {order} {name}: {row[name]}",
                   file=sys.stderr, flush=True)
+            _release_device_memory()
         results[order] = row
     return results
 
@@ -953,6 +954,7 @@ def bench_order_scaling(limits=(256, 512), orders=(256, 384, 512)):
                 row["f64_vs_host"] = round(hdt / dt, 2)
         print(f"  kernel order {order}: {row}", file=sys.stderr)
         results["kernel"][order] = row
+        _release_device_memory()
 
     from genfer_tpu.tools.generators import generate_population
     from genfer_tpu.cli import main as cli_main
@@ -1014,6 +1016,24 @@ def bench_order_scaling(limits=(256, 512), orders=(256, 384, 512)):
         "above at high order"
     )
     return results
+
+
+def _release_device_memory() -> None:
+    """Drop compiled executables and collect garbage so the TPU worker
+    frees the previous shape's buffers.  The f64-emulation paths at
+    order >= 512 allocate 8x f32 temporaries; with a previous order's
+    buffers still live the next compile RESOURCE_EXHAUSTs (this is the
+    committed round-3 `scaling: FAILED` failure).  Shapes differ
+    between rows anyway, so dropping the cache costs no recompiles."""
+    import gc
+
+    try:
+        import jax
+
+        jax.clear_caches()
+    except Exception:  # noqa: BLE001
+        pass
+    gc.collect()
 
 
 def _ensure_native_built() -> None:
@@ -1103,6 +1123,9 @@ def main():
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--serving", action="store_true")
     ap.add_argument("--scan", action="store_true")
+    ap.add_argument("--nested", action="store_true",
+                    help="superseded nested-enumeration comparison "
+                    "(not part of --all; see docs/mass_semantics.md)")
     ap.add_argument("--highorder", action="store_true")
     ap.add_argument("--all", action="store_true",
                     help="suite + scaling + pallas + serving + scan + "
@@ -1158,6 +1181,11 @@ def main():
                 out = json.loads(path.read_text())
             except ValueError:
                 out = {}
+        # superseded sections: never carry them forward from old runs
+        for stale in ("nested_enumeration",):
+            if stale not in extra:
+                out.pop(stale, None)
+                out.get("_meta", {}).pop(stale, None)
         out.update({
             "kernel_gflops": round(gflops, 3),
             "kernel_order": args.order,
@@ -1166,6 +1194,17 @@ def main():
             ),
             **extra,
         })
+        # stamp every section written by THIS run with its measurement
+        # context, so stale rows from earlier legs are detectable
+        meta = out.setdefault("_meta", {})
+        stamp = {
+            "device": device,
+            "native_eval": os.environ.get("GENFER_NATIVE_EVAL", "1"),
+            "run": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        for key in extra:
+            meta[key] = stamp
+        meta["headline"] = stamp
         if device == "cpu-fallback":
             out["device"] = "cpu-fallback (TPU tunnel unreachable)"
         path.write_text(json.dumps(out, indent=2) + "\n")
@@ -1208,6 +1247,11 @@ def main():
     if args.scan:
         section("population_scan", bench_population_scan)
         section("cascade_switchpoint", bench_cascade_switchpoint)
+    if args.nested:
+        # superseded comparison (kept for reproducibility, off by
+        # default): the native eval tape made the interpreter ~13x
+        # faster on this program, so the vectorized normalize no longer
+        # wins the standalone host race (docs/mass_semantics.md)
         section("nested_enumeration", bench_nested)
     # scaling before highorder: the order-2048 f64 run leaves multi-GB
     # buffers on the TPU worker that can RESOURCE_EXHAUST later compiles

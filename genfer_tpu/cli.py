@@ -77,10 +77,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend",
                    choices=["jax", "numpy", "hybrid", "sharded", "pallas",
                             "object"], default=None,
-                   help="force an array backend (default: jax on an "
-                   "accelerator, numpy on CPU for float modes; object for "
-                   "exact modes; pallas = opt-in f32 MXU fast mode, "
-                   "~1e-6 rel error on large products)")
+                   help="force an array backend (default: numpy host path "
+                   "with the native C++ eval tape; hybrid/sharded offload "
+                   "engages automatically only when an explicit --limit "
+                   "puts the program at offload-scale convs on a live "
+                   "accelerator; object for exact modes; pallas = opt-in "
+                   "f32 MXU fast mode, ~1e-6 rel error on large products)")
     return p
 
 
@@ -93,12 +95,40 @@ def _accelerator_present() -> bool:
         return False
 
 
-def select_mode(args):
+def _offload_scale_flops(program, args) -> float:
+    """Static upper-bound proxy for the largest truncated Cauchy product
+    this inference can reach: both operands of shape ``(limit+1)^nvars``
+    give ``prod_d (L+1)(L+2)/2`` contributing pairs.  Used only to decide
+    whether initializing the accelerator can possibly pay for itself.
+
+    The reference engine (generating_function.rs:670-765) never pays a
+    device round-trip; through the remote TPU tunnel one offload costs
+    ~0.3-0.6 s, so the default configuration must stay on the host path
+    unless the program's demand profile genuinely reaches offload scale
+    (round-3 artifact: default ``hybrid`` was ~10x slower than the host
+    path on mixture/hmm — bench-results.json suite rows)."""
+    if program is None:
+        return 0.0
+    limit = getattr(args, "limit", None)
+    if limit is None:
+        # without an explicit --limit the Markov auto-limits on the
+        # committed corpora stay far below offload scale
+        return 0.0
+    nvars = max(1, int(program.used_vars()))
+    pairs = 1.0
+    for _ in range(nvars):
+        pairs *= (limit + 1) * (limit + 2) / 2.0
+    return 2.0 * pairs
+
+
+def select_mode(args, program=None):
     """Choose (host scalar type, array backend) mirroring the reference's
-    monomorphized dispatch (main.rs:108-143).  Float modes run on the
-    JAX backends when an accelerator is present, and on the numpy
-    backends (identical IEEE-754 semantics, lower per-op overhead for
-    small coefficient tensors) otherwise."""
+    monomorphized dispatch (main.rs:108-143).  Float modes default to the
+    numpy host backend (identical IEEE-754 semantics, native C++ eval
+    tape, no accelerator probe); the JAX offload backends engage only
+    when the program's static demand profile reaches offload-scale convs
+    on a live accelerator (see _offload_scale_flops) or by explicit
+    --backend / GENFER_BACKEND choice."""
     from .taylor.backend import (
         HybridBackend,
         JaxF64Backend,
@@ -129,13 +159,27 @@ def select_mode(args):
             # probe (or initialize) jax — the axon TPU plugin probe
             # costs ~15-20 s per process for a sub-second inference.
             choice = "numpy"
-        elif _accelerator_present():
+        elif (
+            _offload_scale_flops(program, args)
+            >= HybridBackend.CONV_OFFLOAD_FLOPS
+            and _accelerator_present()
+        ):
+            # the program's demand profile reaches convs big enough that
+            # one offload beats the host kernel even through the tunnel;
             # multi-chip: shard the large Cauchy products / solves over
             # the device mesh (SURVEY §2.9); single chip: host + offload
             import jax
 
             choice = "sharded" if len(jax.devices()) > 1 else "hybrid"
         else:
+            # Measured end-to-end finding (round 3, bench-results.json):
+            # single inference is bound by thousands of SMALL tensor ops
+            # (the reference's observation optimizers avoid big dense
+            # products by design), so per-op offload never wins at
+            # corpus-feasible orders — the host numpy/native path with
+            # the C++ eval tape is the honest-fast default, and it never
+            # initializes jax (dead-tunnel runs stay alive, and the
+            # ~15-20 s axon plugin probe is not paid on small models).
             choice = "numpy"
     if args.bounds:
         T = Interval.over(elem)
@@ -251,7 +295,7 @@ def run(program, args):
 def _run_impl(program, args):
     if args.compile_scan and _try_scan_path(program, args):
         return
-    T, backend, elem = select_mode(args)
+    T, backend, elem = select_mode(args, program)
     IV = Interval.over(elem) if not args.bounds else T
     inference_start = time.perf_counter()
     uses_observe = program.uses_observe()

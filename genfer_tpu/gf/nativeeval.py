@@ -42,7 +42,12 @@ def _mode() -> str:
 # costs ~25 us to fault in (userfault-backed memory, measured 0.13 GB/s
 # first-touch), so a large retained memo trades negligible recompute for
 # massive kernel time — mixture: 4096 MB budget = 43 s wall / 36 s sys,
-# 256 MB = 7 s wall / 0.4 s sys, identical output.
+# 256 MB = 7 s wall / 0.4 s sys, identical output.  The other heavy
+# goldens are insensitive to the cut (hmm / digitRecognition / both
+# switchpoints measured identical wall at 256 vs 4096 MB — their live
+# sets fit either way); on a conventional host with cheap first-touch a
+# larger GENFER_NATIVE_EVAL_BUDGET_MB only helps if a profile shows
+# memo-miss recompute, which none of the committed corpus exhibits.
 _BUDGET_MB = int(os.environ.get("GENFER_NATIVE_EVAL_BUDGET_MB", "256"))
 
 # kind codes (must match the Kind enum in native/evaltape_eval.inc)

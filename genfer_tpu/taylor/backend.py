@@ -1793,15 +1793,23 @@ class HybridBackend(NumpyF64Backend):
 
     #: minimum number of multiply-adds before a conv is offloaded.
     #: Offload pays a device roundtrip (measured ~0.3-0.6 s through the
-    #: remote TPU tunnel: ~100-150 MB/s transfers + dispatch latency) and
-    #: a per-shape compile; the native host kernel sustains 2-8 GFLOP/s
-    #: (load/cache dependent; bench-results.json "scaling" has the
-    #: measured sweep), so the breakeven against a 0.5 s roundtrip is
-    #: ~2-4e9 flops; 6e9 keeps a safety margin for warm-cache hosts.
-    #: On a co-located accelerator (no tunnel) the breakeven is ~100x
-    #: lower — set GENFER_CONV_OFFLOAD_FLOPS accordingly.
+    #: remote TPU tunnel: ~100-150 MB/s transfers + dispatch latency)
+    #: plus a per-shape compile on first touch, and — structurally — a
+    #: single above-threshold conv makes the native C++ eval tape bail
+    #: the whole evaluation back to the Python engine
+    #: (gf/nativeeval.py), losing its ~3x end-to-end win.  The round-3
+    #: single-conv breakeven math (~2-4e9 flops vs a 0.5 s roundtrip at
+    #: 2-8 GFLOP/s host throughput) set this to 6e9, but the committed
+    #: end-to-end rows showed that threshold losing ~10x on mixture/hmm
+    #: (bench-results.json round 3: 82.6 s hybrid vs 7.9 s host): real
+    #: programs issue MANY near-threshold convs and each pays the full
+    #: latency.  2e10 (~5 s of host kernel time PER CONV) is the point
+    #: where one offload wins even with an un-amortized roundtrip and
+    #: the tape fallback priced in.  On a co-located accelerator (no
+    #: tunnel) the breakeven is ~100x lower — set
+    #: GENFER_CONV_OFFLOAD_FLOPS accordingly.
     CONV_OFFLOAD_FLOPS = int(
-        float(os.environ.get("GENFER_CONV_OFFLOAD_FLOPS", 6e9))
+        float(os.environ.get("GENFER_CONV_OFFLOAD_FLOPS", 2e10))
     )
     #: minimum length before a 1-axis recurrence is offloaded (the
     #: triangular solve is O(n^2): host is faster than one roundtrip

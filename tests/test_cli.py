@@ -88,3 +88,57 @@ def test_backend_flags(tmp_path):
     for backend in ("numpy", "jax", "object"):
         out = run([str(f), "--no-timing", "--no-probs", "--backend", backend])
         assert "Z = 0.2706705664732" in out, backend
+
+
+def test_default_backend_is_host_path(tmp_path, monkeypatch):
+    """Round-4 regression pin: the default configuration must never lose
+    to its own host path.  Round 3's committed artifact showed the
+    single-chip `hybrid` default ~10x slower than `--backend numpy` on
+    mixture/hmm (bench-results.json suite rows), because per-op offload
+    through the remote tunnel pays a ~0.3-0.6 s roundtrip per conv and a
+    single above-threshold conv makes the native eval tape bail.  The
+    default is now the numpy/native host path unless the program's
+    static demand profile reaches offload-scale convs (reference class
+    being matched: one-config-always-fast main.rs:96-143)."""
+    from genfer_tpu import cli
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.taylor.backend import HybridBackend, NumpyF64Backend
+
+    prog2 = parse_program(
+        "X ~ Poisson(5);\nY ~ Poisson(5);\nobserve(Y = 3);\nreturn X;"
+    )
+
+    def parse(argv):
+        return cli.build_arg_parser().parse_args(argv)
+
+    # accelerator present, but no explicit limit: host path, and the
+    # accelerator must not even be probed (dead-tunnel safety)
+    def boom():
+        raise AssertionError("accelerator probed on a host-scale program")
+
+    monkeypatch.setattr(cli, "_accelerator_present", boom)
+    _, backend, _ = cli.select_mode(parse(["x.sgcl"]), prog2)
+    assert type(backend) is NumpyF64Backend
+
+    # small explicit limit: still far below offload scale
+    _, backend, _ = cli.select_mode(parse(["x.sgcl", "--limit", "64"]), prog2)
+    assert type(backend) is NumpyF64Backend
+
+    # offload-scale limit on a live accelerator: hybrid engages
+    monkeypatch.setattr(cli, "_accelerator_present", lambda: True)
+    est = cli._offload_scale_flops(prog2, parse(["x.sgcl", "--limit", "512"]))
+    assert est >= HybridBackend.CONV_OFFLOAD_FLOPS
+    _, backend, _ = cli.select_mode(
+        parse(["x.sgcl", "--limit", "512"]), prog2
+    )
+    # single chip -> HybridBackend; the CI mesh has 8 virtual devices,
+    # so the multi-chip sharded backend (a JaxF64Backend factory impl
+    # carrying a mesh) is the correct pick here
+    assert isinstance(backend, HybridBackend) or hasattr(backend, "mesh")
+
+    # same limit with the accelerator gone: host path again
+    monkeypatch.setattr(cli, "_accelerator_present", lambda: False)
+    _, backend, _ = cli.select_mode(
+        parse(["x.sgcl", "--limit", "512"]), prog2
+    )
+    assert type(backend) is NumpyF64Backend

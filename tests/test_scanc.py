@@ -526,7 +526,11 @@ def test_scan_compiler_corpus_coverage():
     from test_golden import CASES, _first_line_flags
 
     # flag modes whose goldens print non-f64 values, and heavyweight
-    # compiles (golden-verified via --compile-scan elsewhere)
+    # compiles: mixture/hmm/switchpoint/populations have dedicated
+    # scanc-path golden tests elsewhere in this file;
+    # digitRecognition is interpreter-verified only (test_golden.py) —
+    # its 10-way split program is outside the scan fragment and falls
+    # back by design
     skip_flags = ("--rational", "-r", "-s", "--precision", "-p",
                   "--bounds", "-b")
     heavy = {"mixture.sgcl", "hmm.sgcl", "switchpoint.sgcl",
