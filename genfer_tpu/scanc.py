@@ -529,6 +529,16 @@ def _check_cont_sampled_first(stmts, cont_vars: set, sampled: set) -> set:
                 s.stmts, cont_vars, sampled
             )
             continue
+        if isinstance(s, ast.While):
+            bad = (_event_reads(s.cond) & cont_vars) - sampled
+            if bad:
+                raise UnsupportedForScan(
+                    "continuous var read before its first sample"
+                )
+            # the body may execute zero times: vars it samples do not
+            # count as sampled afterwards
+            _check_cont_sampled_first(s.body, cont_vars, set(sampled))
+            continue
         bad = (_stmt_reads(s) & cont_vars) - sampled
         if bad:
             raise UnsupportedForScan(
@@ -984,12 +994,14 @@ class _MassCompiler:
         #: ``unroll n`` annotation (the CLI's --unroll, reference
         #: default 8)
         self.unroll = int(unroll)
-        #: rest-mass taps: While ops append the traced scalar mass
-        #: still live after their unrollings DURING TRACING; the
-        #: run-builder collects the segment's taps into the rest
-        #: output (reference: gf.rs while rule adds
-        #: marginalize_all(rest.gf) to translation.rest)
-        self.rest_taps: list = []
+        #: given axes of the enclosing ``normalize`` statements at the
+        #: current COMPILE position: rest-mass combining (if-joins,
+        #: normalize rescaling) mirrors the reference's per-given-value
+        #: enumeration by reducing rest tensors to this granularity
+        #: before taking maxima (gf_transformer.transform_normalize
+        #: hands each slice the scalar rest and maxes the slice
+        #: results)
+        self._gv_active: frozenset = frozenset()
         # per-step feeds: fn(slot_values, params) -> np.ndarray, read
         # from env[0] (the scan's per-iteration xs)
         self.feeds = []
@@ -1395,13 +1407,40 @@ class _MassCompiler:
         )
 
     # -- statements -----------------------------------------------------
+    #
+    # Rest-mass threading (mirrors GfTranslation.rest through the
+    # reference's statement rules, gf_transformer.py:230-380): a block
+    # compiles to ``g, rest, xs -> (g, rest)``.  Ordinary statements
+    # never touch ``rest`` and keep the plain ``g, xs -> g`` signature;
+    # only While (adds the still-live mass), IfThenElse with rest-aware
+    # branches (join = max for event conditions, blend = weighted sum
+    # for const-prob conditions), Fail (zeroes it, GfTranslation.zero)
+    # and Normalize (factor interval) are wrapped.  ``rest`` stays the
+    # python float 0.0 until a While contributes, so loop-free programs
+    # trace exactly as before.
     def compile_block(self, stmts) -> Callable:
         ops = [self._stmt_op(s) for s in stmts]
-        def apply(g, xs):
+        touches = any(getattr(op, "rest_aware", False) for op in ops)
+
+        def apply(g, rest, xs):
             for op in ops:
-                g = op(g, xs)
-            return g
+                if getattr(op, "rest_aware", False):
+                    g, rest = op(g, rest, xs)
+                else:
+                    g = op(g, xs)
+            return g, rest
+
+        apply.rest_aware = True
+        apply.touches_rest = touches
         return apply
+
+    def _red(self, t, axes):
+        """Reduce a rest tensor over ``axes`` (keepdims) — the
+        granularity step before a reference-style rest max.  Scalars
+        (python 0.0 or 0-d) pass through."""
+        if not axes or isinstance(t, float) or getattr(t, "ndim", 0) == 0:
+            return t
+        return self.jnp.sum(t, axis=axes, keepdims=True)
 
     def _stmt_op(self, stmt) -> Callable:
         jnp = self.jnp
@@ -1418,15 +1457,62 @@ class _MassCompiler:
             then_fails = (
                 len(stmt.then) == 1 and isinstance(stmt.then[0], ast.Fail)
             )
+            from .numbers.scalar import F64
+
+            const_p = stmt.cond.recognize_const_prob(F64)
             if else_fails:
-                return lambda g, xs: then_ap(g * w(xs), xs)
+                def ap_ef(g, rest, xs):
+                    gt, rt = then_ap(g * w(xs), rest, xs)
+                    if const_p is not None:
+                        # reference const-prob blend with a zero (fail)
+                        # branch: rest_out = p*(rest_in + adds); the
+                        # branch ran on the weighted mass so its adds
+                        # are already scaled — rescale only rest_in
+                        return gt, rt - (1.0 - float(const_p)) * rest
+                    # event join with GfTranslation.zero: max keeps the
+                    # live branch's rest
+                    return gt, rt
+                ap_ef.rest_aware = True
+                return ap_ef
             else_ap = self.compile_block(stmt.els)
             if then_fails:
-                return lambda g, xs: else_ap(g * (1.0 - w(xs)), xs)
-            def ap(g, xs):
+                def ap_tf(g, rest, xs):
+                    ge, re_ = else_ap(g * (1.0 - w(xs)), rest, xs)
+                    if const_p is not None:
+                        return ge, re_ - float(const_p) * rest
+                    return ge, re_
+                ap_tf.rest_aware = True
+                return ap_tf
+            if not (then_ap.touches_rest or else_ap.touches_rest):
+                def ap(g, xs):
+                    wv = w(xs)
+                    gt, _ = then_ap(g * wv, 0.0, xs)
+                    ge, _ = else_ap(g * (1.0 - wv), 0.0, xs)
+                    return gt + ge
+                return ap
+            red_axes = tuple(
+                a for a in range(self.nv) if a not in self._gv_active
+            )
+
+            def ap2(g, rest, xs):
                 wv = w(xs)
-                return then_ap(g * wv, xs) + else_ap(g * (1.0 - wv), xs)
-            return ap
+                gt, rt = then_ap(g * wv, rest, xs)
+                ge, re_ = else_ap(g * (1.0 - wv), rest, xs)
+                if const_p is not None:
+                    # reference const-prob blend (gf.rs:302-310 =
+                    # gf_transformer.py:334-342): rests add; each
+                    # branch's additions are already weighted because
+                    # the branch ran on the weighted mass, so undo the
+                    # doubly-counted incoming rest
+                    return gt + ge, rt + re_ - rest
+                # event join (GfTranslation.join): rests take the max,
+                # at the enclosing given-variable granularity
+                comb = jnp.maximum(self._red(rt, red_axes),
+                                   self._red(re_, red_axes))
+                return gt + ge, comb
+
+            ap2.rest_aware = True
+            return ap2
         if isinstance(stmt, ast.Sample):
             return self._sample_op(stmt)
         if isinstance(stmt, ast.Assign):
@@ -1444,7 +1530,12 @@ class _MassCompiler:
             K = self.jnp.asarray(D)
             return lambda g, xs: self._matrix_apply(g, v, K)
         if isinstance(stmt, ast.Fail):
-            return lambda g, xs: jnp.zeros_like(g)
+            # reference: Fail -> GfTranslation.zero (gf and rest BOTH
+            # zeroed, gf_transformer.py:372-373)
+            def ap_fail(g, rest, xs):
+                return jnp.zeros_like(g), 0.0
+            ap_fail.rest_aware = True
+            return ap_fail
         if isinstance(stmt, ast.Normalize):
             return self._normalize_op(stmt)
         if isinstance(stmt, ast.While):
@@ -1462,28 +1553,59 @@ class _MassCompiler:
         of grid coordinates/feeds only, so it is computed once; mass
         the body pushes past the grid end is recovered by the
         grid-doubling validation (a truncating grid disagrees with its
-        doubling)."""
+        doubling).
+
+        Rest rule (mirrors gf_transformer.py:348-366): the joined loop
+        exits carry the rest as it stood BEFORE the last body run (the
+        reference's per-iteration join maxes the exits' rests), and the
+        whole still-live mass is then added."""
         jnp = self.jnp
-        if self.cont:
-            # _check_cont_sampled_first does not walk loop bodies, and
-            # quadrature-grid truncation inside a loop has no doubling
-            # story yet — keep the fragment honest
-            raise UnsupportedForScan("while with continuous grids")
+        if self.cont and _writes_any(stmt.body, set(self.cont)):
+            # mass that re-enters a value grid inside the loop would
+            # need a per-iteration quadrature-truncation story; loops
+            # that only READ continuous vars (condition weights, rate
+            # parameters at node values) are grid-exact per iteration,
+            # and _check_cont_sampled_first walks loop bodies so every
+            # read is after the var's first sample
+            raise UnsupportedForScan(
+                "while writes a continuous-grid variable"
+            )
         w = self._event_weight(stmt.cond)
         body = self.compile_block(stmt.body)
         count = stmt.unroll if stmt.unroll is not None else self.unroll
-        taps = self.rest_taps
+        body_touches = body.touches_rest
+        red_axes = tuple(
+            a for a in range(self.nv) if a not in self._gv_active
+        )
 
-        def ap(g, xs):
+        def ap(g, rest, xs):
             wv = w(xs)
             done = jnp.zeros_like(g)
             live = g
+            r = rest
+            r_join = None
             for _ in range(count):
+                if body_touches:
+                    # exits join: rests max (at the enclosing given
+                    # granularity) over iterations — only a rest-aware
+                    # body (nested While/Normalize) can change r
+                    rr = self._red(r, red_axes)
+                    r_join = rr if r_join is None else (
+                        jnp.maximum(r_join, rr)
+                    )
                 done = done + live * (1.0 - wv)
-                live = body(live * wv, xs)
-            taps.append(jnp.sum(live))
-            return done
+                live, r = body(live * wv, r, xs)
+            if not body_touches:
+                r_join = rest  # every exit carried the incoming rest
+            # rest invariant: granularity == enclosing given axes (a
+            # scalar-like keepdims tensor at top level, per-slice totals
+            # inside a given-vars normalize — the reference's
+            # slice-enumeration scalar).  Adding the FULL live tensor
+            # would broadcast the incoming scalar across every grid
+            # cell and multi-count it at the next sum.
+            return done, r_join + self._red(live, red_axes)
 
+        ap.rest_aware = True
         return ap
 
     def _normalize_op(self, stmt: ast.Normalize) -> Callable:
@@ -1513,52 +1635,67 @@ class _MassCompiler:
                 elif isinstance(s, ast.Normalize):
                     check(s.stmts)
                 elif isinstance(s, ast.While):
-                    if gv:
-                        # per-slice rest bounds would need the
-                        # reference's per-value rest enumeration
-                        raise UnsupportedForScan(
-                            "while inside a normalize with given "
-                            "variables"
-                        )
+                    check(s.body)
         check(stmt.stmts)
+        outer_gv = self._gv_active
+        self._gv_active = frozenset(outer_gv | gv)
         inner = self.compile_block(stmt.stmts)
-        other = tuple(a for a in range(self.nv) if a not in gv)
-        taps = self.rest_taps
+        self._gv_active = outer_gv
+        # slice granularity: this normalize's given axes PLUS any
+        # enclosing normalize's (the reference enumerates the outer
+        # values first, so factors are per JOINT given-value slice)
+        own_other = tuple(
+            a for a in range(self.nv) if a not in gv and a not in outer_gv
+        )
+        outer_other = tuple(
+            a for a in range(self.nv) if a not in outer_gv
+        )
+        own_axes = tuple(sorted(gv - set(outer_gv)))
 
-        def ap(g, xs):
-            n0 = len(taps)
-            pre = jnp.sum(g, axis=other, keepdims=True) if other else g
-            h = inner(g, xs)
-            post = jnp.sum(h, axis=other, keepdims=True) if other else h
-            new = taps[n0:]
-            if not new:
+        def ap(g, rest, xs):
+            pre = (jnp.sum(g, axis=own_other, keepdims=True)
+                   if own_other else g)
+            h, rest_after = inner(g, rest, xs)
+            post = (jnp.sum(h, axis=own_other, keepdims=True)
+                    if own_other else h)
+            no_rest = (isinstance(rest, float) and rest == 0.0
+                       and not inner.touches_rest)
+            if no_rest:
                 safe = jnp.where(post > 0, post, 1.0)
-                return h * jnp.where(post > 0, pre / safe, 0.0)
-            # rest mass inside the block (gv is empty, checked above):
-            # the normalization factor is only known as an interval —
-            # scale the retained mass by the factor's lower bound and
-            # the rest tap by its upper bound (reference: gf.rs
-            # normalize rule = gf_transformer.py:563-578)
-            del taps[n0:]
-            rest_inner = sum(new)
-            rest_before = sum(taps) if taps else 0.0
-            total_before = jnp.sum(g)
-            total_after = jnp.sum(h)
-            den_min = total_after + rest_inner
+                return h * jnp.where(post > 0, pre / safe, 0.0), rest
+            # rest mass in play: the normalization factor is only known
+            # as an interval — scale the retained mass by the factor's
+            # lower bound and the rest by its upper bound (reference:
+            # gf.rs normalize rule = gf_transformer.py:563-578).  With
+            # given variables the reference enumerates the slices,
+            # handing EACH the incoming scalar rest and maxing the
+            # slice results (transform_normalize:588-601); the block
+            # operators are slice-preserving in the given axes, so the
+            # vectorized pass reads the per-slice inner additions
+            # straight off the threaded rest tensor.
+            rb = self._red(rest, outer_other)
+            adds_sl = (self._red(rest_after, own_other)
+                       - self._red(rest, own_other))
+            rest_after_sl = rb + adds_sl
+            den_min = post + rest_after_sl
             min_f = jnp.where(
                 den_min > 0,
-                total_before / jnp.where(den_min > 0, den_min, 1.0),
+                pre / jnp.where(den_min > 0, den_min, 1.0),
                 0.0,
             )
             max_f = jnp.where(
-                total_after > 0,
-                (total_before + rest_before)
-                / jnp.where(total_after > 0, total_after, 1.0),
+                post > 0,
+                (pre + rb) / jnp.where(post > 0, post, 1.0),
                 0.0,
             )
-            taps.append(rest_inner * max_f)
-            return h * min_f
+            rest_out = max_f * rest_after_sl
+            if own_axes and getattr(rest_out, "ndim", 0) > 0:
+                # join over this normalize's enumerated values: max
+                rest_out = jnp.max(rest_out, axis=own_axes,
+                                   keepdims=True)
+            return h * min_f, rest_out
 
+        ap.rest_aware = True
         return ap
 
     def _sample_op(self, stmt: ast.Sample) -> Callable:
@@ -2748,20 +2885,6 @@ class ScanCompiled:
         rv0 = program.result
         self.result_vals = cont[rv0].xs if rv0 in cont else None
 
-        def _has_while(stmts):
-            return any(
-                isinstance(s, ast.While)
-                or (isinstance(s, ast.IfThenElse)
-                    and (_has_while(s.then) or _has_while(s.els)))
-                or (isinstance(s, ast.Normalize) and _has_while(s.stmts))
-                for s in stmts
-            )
-
-        if _has_while(rep.template):
-            # a While inside the lax.scan template would tap rest mass
-            # inside the scan body, where per-iteration rescaling makes
-            # the tap's unit scale iteration-dependent
-            raise UnsupportedForScan("while inside a repeated block")
         mc = _MassCompiler(sizes, cont, unroll=unroll)
         pre_ap = mc.compile_block(rep.prologue)
         if mc.feeds:
@@ -2777,46 +2900,54 @@ class ScanCompiled:
         self._consts0 = self._consts(self.params)
         rv = program.result
 
+        has_scan = rep.n_iters > 0 and len(rep.template) > 0
+
+        def rest_total(r):
+            # the threaded rest may be the literal 0.0, a reduced
+            # keepdims tensor, or a full live-mass tensor
+            return jnp.sum(r) if getattr(r, "ndim", 0) > 0 else (
+                jnp.asarray(r, dtype=jnp.float64)
+            )
+
         def step_fn(consts):
             def step(carry, xs_v):
                 xs, valid = xs_v[:-1], xs_v[-1]
-                g, logz = carry
-                gn = tpl_ap(g, (xs, consts))
+                g, logz, rest = carry
+                # rest rides the carry and its per-step rescaling, so
+                # its unit scale stays aligned with logz (the threaded
+                # rest inside the template sees it in carry units —
+                # exactly the reference's sequential rest flow)
+                gn, rest_n = tpl_ap(g, rest, (xs, consts))
+                rest_n = rest_total(rest_n)
                 m = jnp.max(gn)
                 e = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
                 gn = gn / jnp.exp2(e)
+                rest_n = rest_n / jnp.exp2(e)
                 return (
                     jnp.where(valid > 0, gn, g),
                     logz + jnp.where(valid > 0, e, 0.0),
+                    jnp.where(valid > 0, rest_n, rest),
                 ), None
             return step
 
-        has_scan = rep.n_iters > 0 and len(rep.template) > 0
-        taps = mc.rest_taps
-
         def run(g0, xs, consts):
-            # taps are appended during TRACING (While ops); collected
-            # per segment because the scan rescaling changes the unit
-            # scale between the prologue and the epilogue
-            taps.clear()
-            g = pre_ap(g0, ((), consts))
-            rest_pre = (sum(taps) if taps
-                        else jnp.asarray(0.0, dtype=g.dtype))
-            taps.clear()
+            g, rest = pre_ap(g0, 0.0, ((), consts))
+            rest = rest_total(rest)
             m = jnp.max(g)
             e0 = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
             g = g / jnp.exp2(e0)
+            rest = rest / jnp.exp2(e0)
             if has_scan:
-                (g, logz), _ = jax.lax.scan(step_fn(consts), (g, e0), xs)
+                (g, logz, rest), _ = jax.lax.scan(
+                    step_fn(consts), (g, e0, rest), xs,
+                )
             else:
                 logz = e0
-            g = post_ap(g, ((), consts))
-            rest_post = (sum(taps) if taps
-                         else jnp.asarray(0.0, dtype=g.dtype))
-            taps.clear()
+            g, rest = post_ap(g, rest, ((), consts))
+            rest = rest_total(rest)
             axes = tuple(a for a in range(len(sizes)) if a != rv)
             marg = jnp.sum(g, axis=axes) if axes else g
-            return marg, logz, rest_pre, rest_post
+            return marg, logz, rest
 
         self._run = jax.jit(run)
         self._run_batch = jax.jit(jax.vmap(run, in_axes=(None, 0, None)))
@@ -2883,17 +3014,16 @@ class ScanCompiled:
         xs_stacked.append(valid)
         return tuple(jnp.asarray(a) for a in xs_stacked)
 
-    def _rest(self, logz, rest_pre, rest_post):
-        """Total rest mass in true units: prologue taps are pre-rescale,
-        epilogue taps carry the accumulated 2**logz scale."""
-        return (np.asarray(rest_pre, dtype=np.float64)
-                + np.asarray(rest_post, dtype=np.float64)
+    def _rest(self, logz, rest):
+        """Total rest mass in true units: the threaded rest rides the
+        carry rescaling, so it carries the accumulated 2**logz scale."""
+        return (np.asarray(rest, dtype=np.float64)
                 * 2.0 ** np.asarray(logz, dtype=np.float64))
 
     def run(self):
-        marg, logz, rp, rq = self._run(self._g0, self._xs, self._consts0)
+        marg, logz, rr = self._run(self._g0, self._xs, self._consts0)
         masses = np.asarray(marg, dtype=np.float64) * 2.0 ** float(logz)
-        self.last_rest = float(self._rest(logz, rp, rq))
+        self.last_rest = float(self._rest(logz, rr))
         return masses, float(masses.sum())
 
     def run_with_data(self, data_cols, params: Optional[dict] = None):
@@ -2906,9 +3036,9 @@ class ScanCompiled:
         )
         consts = self._consts(params) if params is not None \
             else self._consts0
-        marg, logz, rp, rq = self._run(self._g0, xs, consts)
+        marg, logz, rr = self._run(self._g0, xs, consts)
         masses = np.asarray(marg, dtype=np.float64) * 2.0 ** float(logz)
-        self.last_rest = float(self._rest(logz, rp, rq))
+        self.last_rest = float(self._rest(logz, rr))
         return masses, float(masses.sum())
 
     def run_batch(self, batch_cols):
@@ -2927,12 +3057,12 @@ class ScanCompiled:
         if not batch_cols:
             xs = self.prepare_xs([])
             xs = tuple(jnp.asarray(a)[None] for a in xs)
-            marg, logz, rp, rq = self._run_batch(
+            marg, logz, rr = self._run_batch(
                 self._g0, xs, self._consts0
             )
             scale = 2.0 ** np.asarray(logz, dtype=np.float64)
             masses = np.asarray(marg, dtype=np.float64) * scale[:, None]
-            self.last_rest = self._rest(logz, rp, rq)
+            self.last_rest = self._rest(logz, rr)
             return masses, masses.sum(axis=1)
         cols = [np.asarray(c, dtype=np.float64) for c in batch_cols]
         B, n = cols[0].shape
@@ -2957,10 +3087,10 @@ class ScanCompiled:
             [np.ones((B, n)), np.zeros((B, cap - n))], axis=1
         )
         xs = tuple(xs_stacked) + (jnp.asarray(valid),)
-        marg, logz, rp, rq = self._run_batch(self._g0, xs, self._consts0)
+        marg, logz, rr = self._run_batch(self._g0, xs, self._consts0)
         scale = 2.0 ** np.asarray(logz, dtype=np.float64)
         masses = np.asarray(marg, dtype=np.float64) * scale[:, None]
-        self.last_rest = self._rest(logz, rp, rq)
+        self.last_rest = self._rest(logz, rr)
         return masses, masses.sum(axis=1)
 
     def run_param_sweep(self, settings, data_cols=None):
@@ -2985,10 +3115,10 @@ class ScanCompiled:
         consts = tuple(
             jnp.stack([cc[j] for cc in cper]) for j in range(len(self._const_feeds))
         )
-        marg, logz, rp, rq = self._run_sweep(self._g0, xs, consts)
+        marg, logz, rr = self._run_sweep(self._g0, xs, consts)
         scale = 2.0 ** np.asarray(logz, dtype=np.float64)
         masses = np.asarray(marg, dtype=np.float64) * scale[:, None]
-        self.last_rest = self._rest(logz, rp, rq)
+        self.last_rest = self._rest(logz, rr)
         return masses, masses.sum(axis=1)
 
 

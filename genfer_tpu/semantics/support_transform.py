@@ -140,6 +140,14 @@ class SupportTransformer:
 
     @staticmethod
     def _widen(cur: SupportSet, new: SupportSet) -> SupportSet:
+        if new.is_subset_of(cur):
+            # already stable: nothing to widen.  For ranges this equals
+            # the widening formula's result; for non-range supports
+            # (continuous intervals the loop never touches) it avoids
+            # the reference's panic (support.rs:348) — a graceful
+            # extension, not a divergence: the reference cannot run
+            # while programs alongside continuous priors at all
+            return cur
         if cur.kind == SupportSet.RANGE and new.kind == SupportSet.RANGE:
             start = cur.start if cur.start <= new.start else 0
             end = None

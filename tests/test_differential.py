@@ -701,3 +701,102 @@ def test_comparison_cascade_infinite_support_vs_bruteforce():
         )
     np.testing.assert_allclose(masses, expected, rtol=1e-9)
     assert abs(Z - expected.sum()) / expected.sum() < 1e-9
+
+
+# ----------------------------------------------------------------------
+# While loops mixed with the rest of the fragment (VERDICT r3 item 5)
+# ----------------------------------------------------------------------
+
+
+def _while_interval(out):
+    import re
+
+    m = re.search(r"Z ∈ \[([\d.e+-]+), ([\d.e+-]+|inf)\]", out)
+    if m is None:  # loop drained completely: exact Z
+        m = re.search(r"Z = ([\d.e+-]+)", out)
+        z = float(m.group(1))
+        return z, z
+    return float(m.group(1)), float(m.group(2))
+
+
+def _random_while_program(rng):
+    """Random program mixing a bounded-unroll while loop with the other
+    mass-compiler features: discrete/continuous priors, compound
+    samples, observes, if/else, normalize (with and without given
+    vars), and scanned repeated blocks."""
+    shape = rng.randint(0, 4)
+    p_cond = rng.choice(["1/3", "1/2", "2/5"])
+    body_ops = []
+    body_ops.append("X += 1;")
+    if rng.randint(0, 2):
+        body_ops.append(f"X +~ Bernoulli({rng.choice(['1/4', '1/3'])});")
+    if rng.randint(0, 2):
+        body_ops.append("if Y > 0 { Y -= 1; } else { X += 1; }")
+    loop = ("while 0 ~ Bernoulli(%s) { %s }\n"
+            % (p_cond, " ".join(body_ops)))
+    prior = (f"X := {rng.randint(0, 3)};\n"
+             f"Y ~ Geometric({rng.choice(['1/2', '2/5'])});\n")
+    obs = (f"observe {rng.randint(0, 3)} ~ "
+           f"Poisson({rng.choice(['1/2', '1/4'])} * X);\n")
+    if shape == 0:  # plain top-level while
+        return prior + loop + obs + "return X"
+    if shape == 1:  # while inside a given-vars normalize
+        c = rng.choice(["1/2", "1/3"])
+        return (f"c ~ Bernoulli({c});\n" + prior
+                + "normalize c {\n" + loop + obs + "}\n"
+                + "if c = 1 { X += 1; }\n"
+                + "return X")
+    if shape == 2:  # while reading a continuous quadrature grid
+        return (
+            "P ~ UniformCont(0, 1);\n" + prior + loop
+            + f"observe {rng.randint(0, 2)} ~ Bernoulli(P);\n"
+            + obs + "return X"
+        )
+    # shape 3: while inside a scanned repeated template
+    blocks = "".join(
+        "X +~ Bernoulli(1/4);\n" + loop
+        + f"observe {rng.randint(0, 3)} ~ Poisson(1/2 * X);\n"
+        for _ in range(10)
+    )
+    return prior + blocks + "return X"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_while_vs_interpreter(seed):
+    """Random while programs (all four structural shapes: top-level,
+    inside given-vars normalize, alongside continuous grids, inside a
+    scanned template) through the mass compiler vs the GF interpreter:
+    Z lower bound, Z + rest == upper bound, and every exact p(k) the
+    interpreter prints below the unroll horizon."""
+    import numpy as np
+
+    from genfer_tpu.scanc import UnsupportedForScan, compile_scan
+
+    rng = np.random.RandomState(3000 + seed)
+    src = _random_while_program(rng)
+    program = parse_program(src)
+    try:
+        masses, Z, obj = compile_scan(program, order=128, unroll=8)
+    except UnsupportedForScan as e:
+        pytest.fail(f"must compile (shape is in-fragment): {e}\n{src}")
+    out = _run_cli_text(src, "--limit", "8", "--unroll", "8")
+    z_lo, z_hi = _while_interval(out)
+    assert abs(Z - z_lo) <= 1e-11 * max(z_lo, 1e-30), src
+    if np.isfinite(z_hi):
+        got_hi = Z + obj.last_rest
+        assert abs(got_hi - z_hi) <= 1e-11 * max(z_hi, 1e-30), src
+    import re as _re
+
+    probs = {
+        int(m.group(1)): float(m.group(2))
+        for m in _re.finditer(
+            r"Unnormalized: p\((\d+)\)\s*=\s*([\d.e+-]+)", out
+        )
+    } or {
+        int(m.group(1)): float(m.group(2))
+        for m in _re.finditer(r"^p\((\d+)\) = ([\d.e+-]+)", out, _re.M)
+    }
+    for k, v in probs.items():
+        got = float(masses[k]) if k < len(masses) else 0.0
+        if v > 1e-280:
+            assert abs(got - v) <= 1e-10 * v, (k, got, v, src)

@@ -911,29 +911,106 @@ def test_while_scan_rest_mass_direct():
         assert abs(Z - (1.0 - 2.0 ** -unroll)) <= 1e-15
 
 
+def _interp_interval_Z(out):
+    """[Z_lo, Z_hi] from interval-mode interpreter output."""
+    m = re.search(r"Z ∈ \[([\d.e+-]+), ([\d.e+-]+)\]", out)
+    return float(m.group(1)), float(m.group(2))
+
+
+def test_while_in_given_normalize_matches_interpreter():
+    """While inside a normalize WITH given variables: the threaded
+    rest tensor is reduced to the given-axes granularity, mirroring
+    the reference's per-given-value slice enumeration that hands each
+    slice the scalar rest and joins slice results by max
+    (gf_transformer.transform_normalize).  Z_lo, masses, and
+    Z_lo + rest == Z_hi must all match the interpreter."""
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import compile_scan
+
+    src = (
+        "c ~ Bernoulli(1/2);\n"
+        "normalize c {\n"
+        "  X := 0;\n"
+        "  while 0 ~ Bernoulli(1/2) { X += 1; }\n"
+        "}\n"
+        "return X"
+    )
+    masses, Z, obj = compile_scan(parse_program(src), order=64)
+    out = _cli(src, "--limit", "8", "--unroll", "8")
+    z_lo, z_hi = _interp_interval_Z(out)
+    assert abs(Z - z_lo) <= 1e-14
+    assert abs((Z + obj.last_rest) - z_hi) <= 1e-14
+    for k, pv in _parse_probs(out).items():
+        assert abs(masses[k] - pv) <= 1e-14, (k, masses[k], pv)
+
+
+def test_while_reads_continuous_matches_interpreter():
+    """While alongside continuous quadrature grids compiles as long as
+    the loop body never WRITES a continuous-grid variable: reads
+    (condition weights / rates at node values) are grid-exact per
+    iteration."""
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import compile_scan
+
+    src = (
+        "P ~ UniformCont(0, 1);\n"
+        "X := 0;\n"
+        "while 0 ~ Bernoulli(1/2) { X += 1; }\n"
+        "observe 1 ~ Bernoulli(P);\n"
+        "return X"
+    )
+    masses, Z, obj = compile_scan(parse_program(src), order=64)
+    out = _cli(src, "--limit", "8", "--unroll", "8")
+    z_lo, z_hi = _interp_interval_Z(out)
+    assert abs(Z - z_lo) <= 1e-14
+    assert abs((Z + obj.last_rest) - z_hi) <= 1e-14
+    for k, pv in _parse_probs(out).items():
+        assert abs(masses[k] - pv) <= 1e-14, (k, masses[k], pv)
+
+
+def test_while_in_scanned_template_matches_interpreter():
+    """While inside a lax.scan'd repeated block: the rest rides the
+    scan carry and shares its per-step power-of-two rescaling, so its
+    unit scale stays aligned with logz.  Each template iteration's
+    geometric loop leaves nonzero live mass, so this exercises the
+    carry-rescaled rest accumulation, not just zero-rest threading."""
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import compile_scan, detect_repetition
+
+    data = (1, 2, 0, 1, 3, 0, 2, 1, 0, 0, 1, 2)
+    src = "X := 1;\n" + "".join(
+        "X +~ Bernoulli(1/4);\n"
+        "while 0 ~ Bernoulli(1/3) { X += 1; }\n"
+        "observe %d ~ Poisson(0.3 * X);\n" % c
+        for c in data
+    ) + "return X"
+    prog = parse_program(src)
+    rep = detect_repetition(prog.stmts)
+    assert rep.n_iters == len(data) and len(rep.template) == 3, \
+        "program must exercise the scan-template path"
+    masses, Z, obj = compile_scan(prog, order=96, unroll=8)
+    out = _cli(src, "--limit", "6", "--unroll", "8")
+    z_lo, z_hi = _interp_interval_Z(out)
+    assert abs(Z - z_lo) <= 1e-12 * z_lo
+    assert abs((Z + obj.last_rest) - z_hi) <= 1e-12 * z_hi
+    for k, pv in _parse_probs(out).items():
+        if pv > 1e-280:
+            assert abs(masses[k] - pv) <= 1e-11 * pv, (k, masses[k], pv)
+
+
 def test_while_scan_unsupported_shapes():
-    """While fragments the compiler must refuse (fall back to the
-    interpreter) rather than mis-compile."""
+    """The one While shape the compiler must still refuse (fall back
+    to the interpreter) rather than mis-compile: a loop body that
+    WRITES a continuous-grid variable (per-iteration quadrature
+    re-truncation has no doubling-validation story)."""
     from genfer_tpu.lang.parser import parse_program
     from genfer_tpu.scanc import UnsupportedForScan, compile_scan
 
-    # while inside a normalize WITH given variables: per-slice rest
-    # bounds are not representable as one scalar tap
-    with pytest.raises(UnsupportedForScan):
-        compile_scan(parse_program(
-            "c ~ Bernoulli(1/2);\n"
-            "normalize c {\n"
-            "  X := 0;\n"
-            "  while 0 ~ Bernoulli(1/2) { X += 1; }\n"
-            "}\n"
-            "return X"
-        ), order=64)
-    # while with continuous quadrature grids
     with pytest.raises(UnsupportedForScan):
         compile_scan(parse_program(
             "P ~ UniformCont(0, 1);\n"
             "X := 0;\n"
-            "while 0 ~ Bernoulli(1/2) { X += 1; }\n"
+            "while 0 ~ Bernoulli(1/2) { X += 1; P ~ UniformCont(0, 1); }\n"
             "observe 1 ~ Bernoulli(P);\n"
             "return X"
         ), order=64)
