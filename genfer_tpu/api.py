@@ -122,7 +122,8 @@ def infer_file(path, **kwargs) -> InferenceResult:
 
 def compile_serving(source: str, *, order: int = 128,
                     params: Optional[dict] = None,
-                    max_steps: Optional[int] = None):
+                    max_steps: Optional[int] = None,
+                    device: Optional[str] = "cpu"):
     """Compile an SGCL program to its accelerator scan form for
     repeated serving (the CLI's ``--compile-scan`` as a library call).
 
@@ -132,11 +133,18 @@ def compile_serving(source: str, *, order: int = 128,
     dispatch for a whole batch), ``run_param_sweep`` sweeps ``$param``
     bindings without retracing, and telescoping cascades expose
     ``run_with_counts``.  Raises ``scanc.UnsupportedForScan`` when the
-    program is outside the compiler's fragment (use :func:`infer`)."""
+    program is outside the compiler's fragment (use :func:`infer`).
+
+    ``device="cpu"`` (default) pins the program to host XLA — the
+    never-loses configuration for one-shot and small-batch use.  Pass
+    ``device=None`` to compile for jax's default accelerator: batched
+    serving throughput at scale (15-25x measured on TPU for
+    vmapped batches, bench generic_serving)."""
     from .scanc import compile_scan_program
 
     program = parse_program(source)
     obj, _ = compile_scan_program(
-        program, order=order, params=params, max_steps=max_steps
+        program, order=order, params=params, max_steps=max_steps,
+        device=device,
     )
     return obj

@@ -653,6 +653,28 @@ def _rename_type_changes(program: ast.Program) -> ast.Program:
     renamed: set = set()
     next_id = program.used_vars()
     out = []
+
+    def _may_cont(block):
+        # may-analysis inside branches: only ADDS vars (a var cont on
+        # either path must be treated as cont afterwards; over-renaming
+        # is semantically harmless, it just costs an axis)
+        for t in block:
+            if isinstance(t, ast.Sample) and not t.add_previous_value:
+                if _is_cont_valued(t.distribution):
+                    cont_now.add(t.var)
+            elif isinstance(t, ast.Assign):
+                add = t.addend
+                frac = (not isinstance(t.offset, Slot)
+                        and float(t.offset) != int(float(t.offset)))
+                if frac or (add is not None and add[1] in cont_now):
+                    cont_now.add(t.var)
+            elif isinstance(t, ast.IfThenElse):
+                _may_cont(t.then)
+                _may_cont(t.els)
+            elif isinstance(t, (ast.While, ast.Normalize)):
+                _may_cont(getattr(t, "body", None)
+                          or getattr(t, "stmts", ()))
+
     for s in program.stmts:
         s = _sub_stmt(s, m)
         if isinstance(s, ast.Sample) and not s.add_previous_value:
@@ -672,6 +694,10 @@ def _rename_type_changes(program: ast.Program) -> ast.Program:
                 cont_now.add(s.var)
             elif not isinstance(d, _VAR_DISTS) or d.var != s.var:
                 cont_now.discard(s.var)
+        elif isinstance(s, ast.Assign):
+            _may_cont((s,))
+        elif isinstance(s, (ast.IfThenElse, ast.While, ast.Normalize)):
+            _may_cont((s,))
         out.append(s)
     if not m:
         return program
@@ -729,11 +755,25 @@ def _dirac_value_sets(stmts, dvars: set, bound, infinite, quad: set):
                     )
             elif isinstance(s, ast.Sample) and s.var in dvars:
                 d = s.distribution
-                if not isinstance(d, ast.Dirac) or s.add_previous_value:
+                if s.add_previous_value:
+                    # `v +~ Bernoulli(v)`: each node x in [0, 1] may
+                    # move to x + 1.0 (same float expression the
+                    # compound kernel's node matcher uses)
+                    if not (isinstance(d, ast.BernoulliVarProb)
+                            and d.var == s.var):
+                        raise UnsupportedForScan(
+                            f"dirac-grid var sampled from {d}"
+                        )
+                    vals[s.var] |= {
+                        x + 1.0 for x in src_vals(s.var)
+                        if 0.0 <= x <= 1.0
+                    }
+                elif isinstance(d, ast.Dirac):
+                    vals[s.var].add(_static_ratio_f(d.a))
+                else:
                     raise UnsupportedForScan(
                         f"dirac-grid var sampled from {d}"
                     )
-                vals[s.var].add(_static_ratio_f(d.a))
             elif isinstance(s, ast.Assign) and s.var in dvars:
                 off = s.offset
                 if isinstance(off, Slot) or (
@@ -916,9 +956,23 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
             cont[v] = _ContGrid(xs, gw)
         if dirac_class:
             for v in dirac_class:
-                if any(s.add_previous_value for s in samples.get(v, [])):
+                comps = [s for s in samples.get(v, [])
+                         if s.add_previous_value]
+                for s in comps:
+                    d = s.distribution
+                    if not (isinstance(d, ast.BernoulliVarProb)
+                            and d.var == v):
+                        raise UnsupportedForScan(
+                            "additive sample on a continuous var"
+                        )
+                if len(comps) > 1:
+                    # the compound kernel zero-rows nodes outside
+                    # [0, 1]; after one compound, live mass can sit at
+                    # x + 1 > 1, so a second application would silently
+                    # drop it (quadrature grids have the same limit)
                     raise UnsupportedForScan(
-                        "additive sample on a continuous var"
+                        "multiple additive compounds on one continuous "
+                        "var"
                     )
             sets = _dirac_value_sets(
                 program.stmts, set(dirac_class), bound, infinite,
@@ -2865,11 +2919,24 @@ class ScanCompiled:
 
     def __init__(self, program: ast.Program, rep: Repetition, order: int,
                  max_steps: Optional[int] = None,
-                 params: Optional[dict] = None, unroll: int = 8):
+                 params: Optional[dict] = None, unroll: int = 8,
+                 device: Optional[str] = "cpu"):
         import jax
         import jax.numpy as jnp
 
         jax.config.update("jax_enable_x64", True)
+        # device="cpu" pins staging + dispatch to host XLA: one-shot
+        # CLI inference is latency-bound (the scan programs are ~ms on
+        # host XLA, while a TPU behind the tunnel pays 20-40 s per
+        # fresh compile and 0.3-0.6 s per roundtrip — measured 199 s vs
+        # 0.5 s end-to-end on the hmm golden).  device=None/"auto"
+        # keeps jax's default device: batched serving throughput on the
+        # accelerator (15-25x measured at scale, bench generic_serving).
+        # the platform STRING, not a device object: jax.default_device
+        # accepts it directly and — unlike jax.devices("cpu") — does
+        # not initialize the whole backend registry (which would pay
+        # the accelerator plugin's init roundtrip just to stay off it)
+        self._jax_device = "cpu" if device == "cpu" else None
         self.program = program
         self.order = order
         self.rep = rep
@@ -2885,19 +2952,24 @@ class ScanCompiled:
         rv0 = program.result
         self.result_vals = cont[rv0].xs if rv0 in cont else None
 
-        mc = _MassCompiler(sizes, cont, unroll=unroll)
-        pre_ap = mc.compile_block(rep.prologue)
-        if mc.feeds:
-            raise UnsupportedForScan("slots escaped into the prologue")
-        tpl_ap = mc.compile_block(rep.template)
-        self._feeds = list(mc.feeds)
-        n_tpl = len(mc.feeds)
-        post_ap = mc.compile_block(rep.epilogue)
-        if len(mc.feeds) != n_tpl:
-            raise UnsupportedForScan("slots escaped into the epilogue")
-        self._const_feeds = list(mc.const_feeds)
-        self._xs = self.prepare_xs(rep.data, rep.n_iters)
-        self._consts0 = self._consts(self.params)
+        # the WHOLE build runs under the placement context: the kernel
+        # builders bake jnp constants into the compiled closures, and a
+        # constant committed to the accelerator would drag every later
+        # dispatch (and the backend init roundtrip) onto it
+        with self._placed():
+            mc = _MassCompiler(sizes, cont, unroll=unroll)
+            pre_ap = mc.compile_block(rep.prologue)
+            if mc.feeds:
+                raise UnsupportedForScan("slots escaped into the prologue")
+            tpl_ap = mc.compile_block(rep.template)
+            self._feeds = list(mc.feeds)
+            n_tpl = len(mc.feeds)
+            post_ap = mc.compile_block(rep.epilogue)
+            if len(mc.feeds) != n_tpl:
+                raise UnsupportedForScan("slots escaped into the epilogue")
+            self._const_feeds = list(mc.const_feeds)
+            self._xs = self.prepare_xs(rep.data, rep.n_iters)
+            self._consts0 = self._consts(self.params)
         rv = program.result
 
         has_scan = rep.n_iters > 0 and len(rep.template) > 0
@@ -2955,6 +3027,17 @@ class ScanCompiled:
         g0 = np.zeros(sizes)
         g0[(0,) * len(sizes)] = 1.0
         self._g0 = g0
+
+    def _placed(self):
+        """Placement context: pins array staging and jit dispatch to
+        the pinned device (host CPU by default; see __init__)."""
+        import contextlib
+
+        import jax
+
+        return (jax.default_device(self._jax_device)
+                if self._jax_device is not None
+                else contextlib.nullcontext())
 
     def _consts(self, params):
         """Per-binding constant feed rows ($param-only feeds)."""
@@ -3021,7 +3104,8 @@ class ScanCompiled:
                 * 2.0 ** np.asarray(logz, dtype=np.float64))
 
     def run(self):
-        marg, logz, rr = self._run(self._g0, self._xs, self._consts0)
+        with self._placed():
+            marg, logz, rr = self._run(self._g0, self._xs, self._consts0)
         masses = np.asarray(marg, dtype=np.float64) * 2.0 ** float(logz)
         self.last_rest = float(self._rest(logz, rr))
         return masses, float(masses.sum())
@@ -3030,13 +3114,14 @@ class ScanCompiled:
         """Unnormalized posterior masses for a new dataset (list of
         per-slot value arrays, same slot order as ``rep.data``),
         optionally under a new ``$param`` binding."""
-        xs = self.prepare_xs(
-            [np.asarray(c, dtype=np.float64) for c in data_cols],
-            params=params,
-        )
-        consts = self._consts(params) if params is not None \
-            else self._consts0
-        marg, logz, rr = self._run(self._g0, xs, consts)
+        with self._placed():
+            xs = self.prepare_xs(
+                [np.asarray(c, dtype=np.float64) for c in data_cols],
+                params=params,
+            )
+            consts = self._consts(params) if params is not None \
+                else self._consts0
+            marg, logz, rr = self._run(self._g0, xs, consts)
         masses = np.asarray(marg, dtype=np.float64) * 2.0 ** float(logz)
         self.last_rest = float(self._rest(logz, rr))
         return masses, float(masses.sum())
@@ -3055,11 +3140,12 @@ class ScanCompiled:
         import jax.numpy as jnp
 
         if not batch_cols:
-            xs = self.prepare_xs([])
-            xs = tuple(jnp.asarray(a)[None] for a in xs)
-            marg, logz, rr = self._run_batch(
-                self._g0, xs, self._consts0
-            )
+            with self._placed():
+                xs = self.prepare_xs([])
+                xs = tuple(jnp.asarray(a)[None] for a in xs)
+                marg, logz, rr = self._run_batch(
+                    self._g0, xs, self._consts0
+                )
             scale = 2.0 ** np.asarray(logz, dtype=np.float64)
             masses = np.asarray(marg, dtype=np.float64) * scale[:, None]
             self.last_rest = self._rest(logz, rr)
@@ -3073,21 +3159,22 @@ class ScanCompiled:
         uniq, inv = np.unique(keymat, axis=0, return_inverse=True)
         xs_stacked = []
         penv = self.params
-        for spec in self._feeds:
-            table = np.stack([
-                np.asarray(spec(list(row), penv), dtype=np.float64)
-                for row in uniq
-            ])
-            arr = table[inv].reshape((B, n) + table.shape[1:])
-            if cap > n:
-                pad = np.repeat(arr[:, -1:], cap - n, axis=1)
-                arr = np.concatenate([arr, pad], axis=1)
-            xs_stacked.append(jnp.asarray(arr))
-        valid = np.concatenate(
-            [np.ones((B, n)), np.zeros((B, cap - n))], axis=1
-        )
-        xs = tuple(xs_stacked) + (jnp.asarray(valid),)
-        marg, logz, rr = self._run_batch(self._g0, xs, self._consts0)
+        with self._placed():
+            for spec in self._feeds:
+                table = np.stack([
+                    np.asarray(spec(list(row), penv), dtype=np.float64)
+                    for row in uniq
+                ])
+                arr = table[inv].reshape((B, n) + table.shape[1:])
+                if cap > n:
+                    pad = np.repeat(arr[:, -1:], cap - n, axis=1)
+                    arr = np.concatenate([arr, pad], axis=1)
+                xs_stacked.append(jnp.asarray(arr))
+            valid = np.concatenate(
+                [np.ones((B, n)), np.zeros((B, cap - n))], axis=1
+            )
+            xs = tuple(xs_stacked) + (jnp.asarray(valid),)
+            marg, logz, rr = self._run_batch(self._g0, xs, self._consts0)
         scale = 2.0 ** np.asarray(logz, dtype=np.float64)
         masses = np.asarray(marg, dtype=np.float64) * scale[:, None]
         self.last_rest = self._rest(logz, rr)
@@ -3105,17 +3192,21 @@ class ScanCompiled:
             data_cols = self.rep.data
         cols = [np.asarray(c, dtype=np.float64) for c in data_cols]
         memo: dict = {}
-        per = [
-            self.prepare_xs(cols, memo=memo, params=p) for p in settings
-        ]
-        xs = tuple(
-            jnp.stack([pp[j] for pp in per]) for j in range(len(per[0]))
-        )
-        cper = [self._consts(p) for p in settings]
-        consts = tuple(
-            jnp.stack([cc[j] for cc in cper]) for j in range(len(self._const_feeds))
-        )
-        marg, logz, rr = self._run_sweep(self._g0, xs, consts)
+        with self._placed():
+            per = [
+                self.prepare_xs(cols, memo=memo, params=p)
+                for p in settings
+            ]
+            xs = tuple(
+                jnp.stack([pp[j] for pp in per])
+                for j in range(len(per[0]))
+            )
+            cper = [self._consts(p) for p in settings]
+            consts = tuple(
+                jnp.stack([cc[j] for cc in cper])
+                for j in range(len(self._const_feeds))
+            )
+            marg, logz, rr = self._run_sweep(self._g0, xs, consts)
         scale = 2.0 ** np.asarray(logz, dtype=np.float64)
         masses = np.asarray(marg, dtype=np.float64) * scale[:, None]
         self.last_rest = self._rest(logz, rr)
@@ -3124,7 +3215,8 @@ class ScanCompiled:
 
 def compile_scan(program: ast.Program, order: int = 128,
                  min_iters: int = 4, max_order: int = 4096,
-                 rtol: float = 1e-12, unroll: int = 8):
+                 rtol: float = 1e-12, unroll: int = 8,
+                 device: Optional[str] = "cpu"):
     """Detect repetition, compile, and validate truncation by doubling
     the grid order until two consecutive orders agree to ``rtol``.
     Returns ``(masses, Z, obj)`` — ``obj.rep.n_iters`` is the detected
@@ -3137,7 +3229,7 @@ def compile_scan(program: ast.Program, order: int = 128,
     converges."""
     obj, (masses, Z) = compile_scan_program(
         program, order=order, min_iters=min_iters,
-        max_order=max_order, rtol=rtol, unroll=unroll,
+        max_order=max_order, rtol=rtol, unroll=unroll, device=device,
     )
     return masses, Z, obj
 
@@ -3147,11 +3239,17 @@ def compile_scan_program(program: ast.Program, order: int = 128,
                          rtol: float = 1e-12,
                          max_steps: Optional[int] = None,
                          params: Optional[dict] = None,
-                         unroll: int = 8):
+                         unroll: int = 8,
+                         device: Optional[str] = "cpu"):
     """Like :func:`compile_scan` but returns the converged
     :class:`ScanCompiled` object (for serving: ``run_with_data`` /
     ``run_batch``) together with its ``(masses, Z)`` on the committed
-    dataset."""
+    dataset.
+
+    ``device="cpu"`` (default) pins the compiled program to host XLA —
+    the honest-fast configuration for one-shot inference (see
+    ScanCompiled.__init__).  Pass ``device=None`` to use jax's default
+    accelerator for batched serving throughput."""
     program = _rename_type_changes(program)
     casc = detect_cascade(program.stmts)
     rep = None
@@ -3205,7 +3303,8 @@ def compile_scan_program(program: ast.Program, order: int = 128,
             obj = CascadeCompiled(program, casc, o)
         else:
             obj = ScanCompiled(program, rep, o, max_steps=max_steps,
-                               params=params, unroll=unroll)
+                               params=params, unroll=unroll,
+                               device=device)
         cur = obj.run()
         if prev is not None:
             r_prev = float(getattr(prev_obj, "last_rest", 0.0) or 0.0)
