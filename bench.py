@@ -192,7 +192,8 @@ def bench_pallas_rowstrip(order=256, iters=8):
     import jax.numpy as jnp
     import numpy as np
 
-    from genfer_tpu.ops.pallas_conv2d import (conv2d_pallas_rowstrip,
+    from genfer_tpu.ops.pallas_conv2d import (conv2d_pallas_grouped,
+                                              conv2d_pallas_rowstrip,
                                               conv2d_pallas_tile)
 
     shape = (order, order)
@@ -202,6 +203,12 @@ def bench_pallas_rowstrip(order=256, iters=8):
     strip = np.asarray(conv2d_pallas_rowstrip(a, b, shape))
     tile = np.asarray(conv2d_pallas_tile(a, b, shape))
     assert np.array_equal(strip, tile), "rowstrip kernel diverged"
+    # grouped kernel accumulates in residue-major j0 order: equal to
+    # the tile kernel only to f32 rounding, not bit-identical
+    grouped = np.asarray(conv2d_pallas_grouped(a, b, shape))
+    g_err = float(np.max(np.abs(grouped - tile)
+                         / np.maximum(np.abs(tile), 1e-20)))
+    assert g_err < 1e-4, f"grouped kernel diverged: {g_err}"
 
     def timed(fn):
         def step(carry, _):
@@ -222,17 +229,21 @@ def bench_pallas_rowstrip(order=256, iters=8):
 
     dt_strip = timed(conv2d_pallas_rowstrip)
     dt_tile = timed(conv2d_pallas_tile)
+    dt_grouped = timed(conv2d_pallas_grouped)
     flops = flops_conv_trunc(shape, shape)
     print(
         f"  pallas rowstrip order={order}: {dt_strip*1e3:.2f} ms "
         f"({flops/dt_strip/1e9:.0f} GFLOP/s) vs tile {dt_tile*1e3:.2f} ms "
-        f"({flops/dt_tile/1e9:.0f} GFLOP/s)",
+        f"({flops/dt_tile/1e9:.0f} GFLOP/s) vs grouped "
+        f"{dt_grouped*1e3:.2f} ms ({flops/dt_grouped/1e9:.0f} GFLOP/s)",
         file=sys.stderr,
     )
     return {"ms": round(dt_strip * 1e3, 3),
             "gflops": round(flops / dt_strip / 1e9, 1),
             "tile_ms": round(dt_tile * 1e3, 3),
-            "speedup_vs_tile": round(dt_tile / dt_strip, 2)}
+            "speedup_vs_tile": round(dt_tile / dt_strip, 2),
+            "grouped_ms": round(dt_grouped * 1e3, 3),
+            "grouped_gflops": round(flops / dt_grouped / 1e9, 1)}
 
 
 def bench_pallas_batched(order=256, batch=32, iters=4):
@@ -673,7 +684,8 @@ def bench_generic_serving(batch=256, steps=109):
         "/root/reference/benchmarks/neurips2023/approx/mixture/"
         "mixture.sgcl"
     )
-    obj, (_, Z) = compile_scan_program(prog, order=128, max_steps=128)
+    obj, (_, Z) = compile_scan_program(prog, order=128, max_steps=128,
+                                       device=None)
     rng = np.random.default_rng(0)
     bc = rng.integers(0, 8, size=(batch, steps)).astype(np.float64)
     t0 = time.perf_counter()
@@ -1267,8 +1279,11 @@ def main():
             {
                 "metric": f"taylor-conv GFLOP/s @order {args.order} "
                 f"({args.ndim}-var, f64 1e-14-accurate; baseline = native "
-                f"C++ host kernel; opt-in pallas f32 mode is 12-41x "
-                f"further, see bench-results.json)"
+                f"C++ host kernel; this path is XLA-f64-emulation-bound "
+                f"— ~95 GF/s is its measured ceiling, see "
+                f"docs/extended_precision.md; opt-in pallas f32 mode is "
+                f"12-60x further, and the production CLI default is the "
+                f"host native path, see bench-results.json suite rows)"
                 + ("" if device != "cpu-fallback" else
                    " [CPU FALLBACK: TPU tunnel was unreachable]"),
                 "value": round(gflops, 3),

@@ -266,6 +266,150 @@ def _build2d_rowstrip(a0: int, a1: int, b0: int, b1: int, c0: int, c1: int,
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=None)
+def _build2d_grouped(a0: int, a1: int, b0: int, b1: int, c0: int, c1: int,
+                     interpret: bool, highest: bool):
+    """Residue-grouped row-strip kernel: attacks the dispatch-bound
+    small-order region (VERDICT r3: 0.6 TF/s @256 vs 6.4 @512).
+
+    The rowstrip kernel pays one UNALIGNED 144-row slab load + sublane
+    rotation per (strip, j0) — at order 256 that is ~400 rolls against
+    a ~0.95 ms MXU floor (6-pass HIGHEST), i.e. most of the measured
+    3.1 ms is per-j0 fixed overhead.  Key fact: a-window starts for j0
+    and j0+8 differ by exactly 8 rows — SUBLANE-ALIGNED.  So iterate j0
+    by residue class mod 8: per (strip, r) ONE big slab covering every
+    window of that class is loaded and rotated ONCE (off = -r mod 8 is
+    constant along the class), and the inner q-loop (j0 = r + 8q) takes
+    8-aligned dynamic slices, which Mosaic loads without any roll.
+    Slab rolls drop from O(b0) to 8 per strip.  Toeplitz window builds
+    are unchanged (same strided-roll construction, same (m, ct) site
+    enumeration as the rowstrip kernel).  Accumulation order differs
+    (residue-major instead of j0-ascending), so outputs are equal to
+    the tile kernel only to f32 rounding, not bit-identical."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c0t = pl.cdiv(c0, TILE)
+    c1t = pl.cdiv(c1, TILE)
+    c0p, c1p = c0t * TILE, c1t * TILE
+    a1p = _round_up(a1, TILE)
+    m_t = a1p // TILE
+    b0p = _round_up(max(b0, 8), 8)
+    Q = b0p // 8
+    # top zero-padding of a: the deepest window start is
+    # k0 + pt - (b0p - 1) at k0 = 0, so pt = b0p keeps starts positive
+    pt = b0p
+    r0 = pt + c0p + 16
+    pb = TILE * m_t
+    c_b = pb + TILE * c1t + 2 * TILE
+    prec = (jax.lax.Precision.HIGHEST if highest
+            else jax.lax.Precision.DEFAULT)
+    m_hi = (b1 + TILE - 2) // TILE + 1
+
+    slab_h = 8 * Q + TILE + 8  # all windows of one residue class + roll slack
+
+    sites = []
+    for m in reversed(range(min(m_hi, c1t))):
+        uses = [ct for ct in range(c1t) if 0 <= ct - m < m_t]
+        if uses:
+            sites.append((m, tuple(uses)))
+
+    def kernel(a_ref, b_ref, o_ref, slab_ref):
+        i0t = pl.program_id(0).astype(jnp.int32)
+        k0 = i0t * jnp.int32(TILE)
+
+        def q_body(r):
+            def body(q, accs):
+                j0 = jnp.int32(r) + jnp.int32(8) * q
+                # 8-aligned window slice: slab[i] = a[start + i] with
+                # start = k0 + pt - r - 8(Q-1); window(q) begins at
+                # a-row k0 + pt - j0 = start + 8(Q-1-q)
+                woff = jnp.int32(8) * (jnp.int32(Q - 1) - q)
+                aw = slab_ref[pl.ds(pl.multiple_of(woff, 8), TILE), :]
+                accs = list(accs)
+                for m, uses in sites:
+                    col0 = jnp.int32(pb) + jnp.int32((m - 1) * TILE)
+                    w = b_ref[pl.ds(j0, 1), pl.ds(col0, 3 * TILE)]
+                    w2 = jnp.broadcast_to(w, (TILE, 3 * TILE))
+                    t128 = pltpu.roll(w2, jnp.int32(2 * TILE), 1,
+                                      stride=1, stride_axis=0)[:, :TILE]
+                    for ct in uses:
+                        t = ct - m
+                        at = aw[:, t * TILE:(t + 1) * TILE]
+                        accs[ct] = accs[ct] + jax.lax.dot(
+                            at, t128,
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        )
+                return tuple(accs)
+            return body
+
+        zero = jnp.zeros((TILE, TILE), jnp.float32)
+        accs = (zero,) * c1t
+        for r in range(8):
+            # one aligned slab load + ONE rotation per residue class
+            start = k0 + jnp.int32(pt - r - 8 * (Q - 1))
+            off = (-r) % 8
+            slab = a_ref[
+                pl.ds(pl.multiple_of(start - jnp.int32(off), 8), slab_h), :
+            ]
+            shift = jnp.int32((slab_h - off) % slab_h)
+            slab_ref[:, :] = pltpu.roll(slab, shift, 0)
+            # nonzero iterations only: the a-window is all-zero once
+            # j0 >= k0 + 128 (top padding), and b rows end at b0
+            q_hi_b = (b0 - r + 7) // 8  # j0 < b0
+            body = q_body(r)
+            # k0 is traced (grid id), so bound the loop with the traced
+            # min; the compiler still hoists the constant part
+            q_hi_a = (k0 + jnp.int32(TILE - r + 7)) // jnp.int32(8)
+            q_hi = jnp.minimum(jnp.int32(q_hi_b), q_hi_a)
+            accs = jax.lax.fori_loop(jnp.int32(0), q_hi, body, accs)
+        for ct in range(c1t):
+            o_ref[:, ct * TILE:(ct + 1) * TILE] = accs[ct]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(c0t,),
+        in_specs=[
+            pl.BlockSpec((r0, a1p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b0p, c_b), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, c1p), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c0p, c1p), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((slab_h, a1p), jnp.float32)],
+        interpret=interpret,
+    )
+
+    def run(a, b):
+        ap = jnp.zeros((r0, a1p), jnp.float32)
+        ap = ap.at[pt : pt + min(a0, c0p), :a1].set(
+            a[: min(a0, c0p)].astype(jnp.float32)
+        )
+        bp = jnp.zeros((b0p, c_b), jnp.float32)
+        bp = bp.at[:b0, pb : pb + b1].set(b.astype(jnp.float32))
+        with jax.enable_x64(False):
+            out = call(ap, bp)
+        return out[:c0, :c1]
+
+    return jax.jit(run)
+
+
+def conv2d_pallas_grouped(a, b, out_shape, interpret: bool = False,
+                          highest: bool = True):
+    """Residue-grouped single-pair kernel (see _build2d_grouped)."""
+    c0, c1 = int(out_shape[0]), int(out_shape[1])
+    return _build2d_grouped(
+        int(a.shape[0]), int(a.shape[1]),
+        int(b.shape[0]), int(b.shape[1]),
+        c0, c1, interpret, highest,
+    )(a, b)
+
+
 def conv2d_pallas_rowstrip(a, b, out_shape, interpret: bool = False,
                            highest: bool = True):
     """Row-strip single-pair kernel — the default ``conv2d_pallas``
