@@ -710,7 +710,8 @@ def _rename_type_changes(program: ast.Program) -> ast.Program:
 _DIRAC_SET_CAP = 256
 
 
-def _dirac_value_sets(stmts, dvars: set, bound, infinite, quad: set):
+def _dirac_value_sets(stmts, dvars: set, bound, infinite, quad: set,
+                      unroll: int = 8):
     """Forward may-analysis of the value sets of dirac-class continuous
     variables (defined only by fractional Dirac samples and affine
     assignments — reference corpus: test/expect/assign/*-cont.sgcl).
@@ -749,10 +750,19 @@ def _dirac_value_sets(stmts, dvars: set, bound, infinite, quad: set):
             elif isinstance(s, ast.Normalize):
                 visit(s.stmts)
             elif isinstance(s, ast.While):
-                if _writes_any(s.body, dvars):
-                    raise UnsupportedForScan(
-                        "dirac-grid assignment inside a while loop"
-                    )
+                # the while compiles to `unroll` exit-split copies of
+                # its body (see _while_op): absorb the body's writes
+                # the same number of times (fixpoint-stopped).  A value
+                # first reached at depth exactly `unroll` carries live
+                # mass only AFTER the final body application — it is
+                # tapped as rest, never fed through the kernel again —
+                # so the union stays a sound may-analysis.
+                u = s.unroll if s.unroll is not None else unroll
+                for _ in range(u):
+                    before = {v: len(vals[v]) for v in dvars}
+                    visit(s.body)
+                    if all(len(vals[v]) == before[v] for v in dvars):
+                        break
             elif isinstance(s, ast.Sample) and s.var in dvars:
                 d = s.distribution
                 if s.add_previous_value:
@@ -803,6 +813,24 @@ def _dirac_value_sets(stmts, dvars: set, bound, infinite, quad: set):
 
     visit(stmts)
     return vals
+
+
+def _samples_in_whiles(stmts, out: set, in_while: bool = False):
+    """Identity set of every Sample statement that sits (at any depth)
+    inside a While body — such statements apply once per unrolled
+    iteration, which additive compounds on continuous grids cannot
+    support (each application would extend the value support again)."""
+    for s in stmts:
+        if isinstance(s, ast.Sample):
+            if in_while:
+                out.add(id(s))
+        elif isinstance(s, ast.IfThenElse):
+            _samples_in_whiles(s.then, out, in_while)
+            _samples_in_whiles(s.els, out, in_while)
+        elif isinstance(s, ast.While):
+            _samples_in_whiles(s.body, out, True)
+        elif isinstance(s, ast.Normalize):
+            _samples_in_whiles(s.stmts, out, in_while)
 
 
 def _writes_any(block, dvars: set) -> bool:
@@ -864,6 +892,8 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
         samples: dict = {}
         copies: dict = {}
         _collect_samples(program.stmts, samples, copies)
+        in_while: set = set()
+        _samples_in_whiles(program.stmts, in_while)
         # a copy-assigned continuous var aliases its sources' grid:
         # fold the sources' sample statements in (iterate: copies of
         # copies)
@@ -900,6 +930,11 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
                         and d.var == v):
                     raise UnsupportedForScan(
                         "additive sample on a continuous var"
+                    )
+                if id(s) in in_while:
+                    raise UnsupportedForScan(
+                        "additive compound on a continuous var inside "
+                        "a while loop"
                     )
             if len(compounds) > 1:
                 raise UnsupportedForScan(
@@ -965,6 +1000,11 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
                         raise UnsupportedForScan(
                             "additive sample on a continuous var"
                         )
+                    if id(s) in in_while:
+                        raise UnsupportedForScan(
+                            "additive compound on a continuous var "
+                            "inside a while loop"
+                        )
                 if len(comps) > 1:
                     # the compound kernel zero-rows nodes outside
                     # [0, 1]; after one compound, live mass can sit at
@@ -976,7 +1016,7 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
                     )
             sets = _dirac_value_sets(
                 program.stmts, set(dirac_class), bound, infinite,
-                set(cont),
+                set(cont), unroll=unroll,
             )
             for v in dirac_class:
                 vv = sets[v]
@@ -1596,6 +1636,34 @@ class _MassCompiler:
             return self._while_op(stmt)
         raise UnsupportedForScan(f"statement {type(stmt).__name__}")
 
+    def _check_while_cont_writes(self, block):
+        """Reject the continuous-grid writes a while body cannot carry
+        per-iteration (see _while_op); everything else compiles through
+        the ordinary statement operators."""
+        for s in block:
+            if isinstance(s, ast.Sample) and s.var in self.cont:
+                if s.add_previous_value:
+                    raise UnsupportedForScan(
+                        "additive compound on a continuous var inside "
+                        "a while loop"
+                    )
+            elif isinstance(s, ast.Assign) and s.var in self.cont:
+                if not self.cont[s.var].dirac and not _is_copy_assign(s):
+                    raise UnsupportedForScan(
+                        "while writes a quadrature-grid variable"
+                    )
+            elif isinstance(s, ast.Decrement) and s.var in self.cont:
+                raise UnsupportedForScan(
+                    "decrement on a continuous grid"
+                )
+            elif isinstance(s, ast.IfThenElse):
+                self._check_while_cont_writes(s.then)
+                self._check_while_cont_writes(s.els)
+            elif isinstance(s, ast.While):
+                self._check_while_cont_writes(s.body)
+            elif isinstance(s, ast.Normalize):
+                self._check_while_cont_writes(s.stmts)
+
     def _while_op(self, stmt: ast.While) -> Callable:
         """Bounded unrolling with a rest-mass tap (reference:
         semantics/gf.rs while rule = gf_transformer.py:348-370): each
@@ -1614,16 +1682,19 @@ class _MassCompiler:
         reference's per-iteration join maxes the exits' rests), and the
         whole still-live mass is then added."""
         jnp = self.jnp
-        if self.cont and _writes_any(stmt.body, set(self.cont)):
-            # mass that re-enters a value grid inside the loop would
-            # need a per-iteration quadrature-truncation story; loops
-            # that only READ continuous vars (condition weights, rate
-            # parameters at node values) are grid-exact per iteration,
-            # and _check_cont_sampled_first walks loop bodies so every
-            # read is after the var's first sample
-            raise UnsupportedForScan(
-                "while writes a continuous-grid variable"
-            )
+        if self.cont:
+            # per-iteration continuous writes that stay grid-exact are
+            # allowed: fresh samples (marginalize+outer re-concentrates
+            # on the SAME static grid; Dirac values were absorbed by
+            # the unrolled value-set may-analysis), exact copy-assigns
+            # (target aliases the source grid), and affine assigns onto
+            # Dirac VALUE grids (the may-analysis ran the body `unroll`
+            # times, matching the exit-split count).  What cannot work
+            # per-iteration: additive compounds (each application
+            # extends the value support — rejected at grid build) and
+            # affine writes onto a quadrature grid (its node set is not
+            # closed under the map).
+            self._check_while_cont_writes(stmt.body)
         w = self._event_weight(stmt.cond)
         body = self.compile_block(stmt.body)
         count = stmt.unroll if stmt.unroll is not None else self.unroll

@@ -4,6 +4,8 @@ src/semantics/mod.rs:6-26)."""
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from ..lang import ast
 from .supportset import SupportSet, VarSupport
 
@@ -154,7 +156,19 @@ class SupportTransformer:
             if cur.end is not None and new.end is not None and new.end <= cur.end:
                 end = cur.end
             return SupportSet(SupportSet.RANGE, start, end)
-        raise AssertionError("Cannot widen non-range supports")
+        # continuous (or mixed) supports: the same widening formula on
+        # the interval hulls — drop whichever bound failed to stabilize.
+        # The reference panics here (support.rs:348) because it cannot
+        # run while programs over continuous state at all; the mass
+        # compiler only needs is-continuous + a sound over-approximation
+        # (the Dirac value-set analysis computes the actual node grid).
+        ca, cb = cur._as_interval()
+        na, nb = new._as_interval()
+        start = ca if ca <= na else Fraction(0)
+        end = None
+        if cb is not None and nb is not None and nb <= cb:
+            end = cb
+        return SupportSet.interval(start, end)
 
     def one_iteration(self, init: VarSupport, body, cond):
         enter, exit_ = self.transform_event(cond, init)

@@ -761,6 +761,105 @@ def _random_while_program(rng):
     return prior + blocks + "return X"
 
 
+def _random_while_contwrite_program(rng):
+    """Random while programs whose loop bodies WRITE continuous state —
+    the last fragment edge: fresh density re-samples (grid-exact
+    marginalize+outer), affine writes onto Dirac value grids (absorbed
+    by the unrolled value-set may-analysis), fresh Dirac re-samples,
+    and exact copy-assigns from a quadrature grid."""
+    shape = rng.randint(0, 4)
+    p_cond = rng.choice(["1/3", "1/2", "2/5"])
+    if shape == 0:  # density resample + observe inside the loop
+        rate = rng.choice(["1", "2", "3"])
+        c_obs = int(rng.randint(0, 2))
+        return (
+            f"flip ~ Bernoulli({p_cond});\n"
+            "c := 0;\n"
+            "while flip = 1 {\n"
+            f"    X ~ Exponential({rate});\n"
+            f"    observe {c_obs} ~ Poisson(1 * X);\n"
+            f"    flip ~ Bernoulli({p_cond});\n"
+            "    c += 1;\n"
+            "}\n"
+            "return c"
+        )
+    if shape == 1:  # affine write onto a dirac value grid
+        a = int(rng.randint(2, 4))  # 2 or 3
+        den = a ** 8 * int(rng.randint(1, 3))
+        return (
+            f"P ~ Dirac(1/{den});\n"
+            f"flip ~ Bernoulli({p_cond});\n"
+            "c := 0;\n"
+            "while flip = 1 {\n"
+            f"    P := {a} * P + 0;\n"
+            f"    flip ~ Bernoulli({rng.choice(['1/3', '1/4'])});\n"
+            "    c += 1;\n"
+            "}\n"
+            "observe 1 ~ Bernoulli(P);\n"
+            "return c"
+        )
+    if shape == 2:  # fresh Dirac re-sample (value union across visits)
+        f1, f2 = rng.choice(["1/4", "1/2", "2/3", "1/3"], 2, False)
+        return (
+            f"P ~ Dirac({f1});\n"
+            "c := 0;\n"
+            f"while 0 ~ Bernoulli({p_cond}) {{\n"
+            f"    P ~ Dirac({f2});\n"
+            f"    observe 1 ~ Bernoulli(P);\n"
+            "    c += 1;\n"
+            "}\n"
+            "observe 1 ~ Bernoulli(P);\n"
+            "return c"
+        )
+    # shape 3: copy-assign from a quadrature grid inside the loop
+    return (
+        "X ~ UniformCont(0, 1);\n"
+        "c := 0;\n"
+        f"while 0 ~ Bernoulli({p_cond}) {{\n"
+        "    Y := X;\n"
+        f"    observe {int(rng.randint(0, 2))} ~ Bernoulli(Y);\n"
+        "    c += 1;\n"
+        "}\n"
+        "return c"
+    )
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_while_contwrite_vs_interpreter(seed):
+    """Random while programs writing continuous state in the loop body
+    (the closed fragment edge) vs the interpreter: Z lower bound,
+    Z + rest == upper bound, every exact p(k) below the horizon."""
+    import numpy as np
+
+    from genfer_tpu.scanc import UnsupportedForScan, compile_scan
+
+    rng = np.random.RandomState(5000 + seed)
+    src = _random_while_contwrite_program(rng)
+    program = parse_program(src)
+    try:
+        masses, Z, obj = compile_scan(program, order=64, unroll=8)
+    except UnsupportedForScan as e:
+        pytest.fail(f"must compile (shape is in-fragment): {e}\n{src}")
+    out = _run_cli_text(src, "--limit", "8", "--unroll", "8")
+    z_lo, z_hi = _while_interval(out)
+    assert abs(Z - z_lo) <= 1e-9 * max(z_lo, 1e-30), src
+    if np.isfinite(z_hi):
+        got_hi = Z + obj.last_rest
+        assert abs(got_hi - z_hi) <= 1e-9 * max(z_hi, 1e-30), src
+    import re as _re
+
+    probs = {
+        int(m.group(1)): float(m.group(2))
+        for m in _re.finditer(
+            r"Unnormalized: p\((\d+)\)\s*=\s*([\d.e+-]+)", out
+        )
+    }
+    for k, v in probs.items():
+        got = float(masses[k]) if k < len(masses) else 0.0
+        if v > 1e-280:
+            assert abs(got - v) <= 1e-8 * v, (k, got, v, src)
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_random_while_vs_interpreter(seed):
     """Random while programs (all four structural shapes: top-level,

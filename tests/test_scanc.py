@@ -999,10 +999,11 @@ def test_while_in_scanned_template_matches_interpreter():
 
 
 def test_while_scan_unsupported_shapes():
-    """The one While shape the compiler must still refuse (fall back
-    to the interpreter) rather than mis-compile: a loop body that
-    WRITES a continuous-grid variable (per-iteration quadrature
-    re-truncation has no doubling-validation story)."""
+    """The While-body continuous writes the compiler must still refuse
+    (fall back to the interpreter) rather than mis-compile: an affine
+    write onto a quadrature grid (its node set is not closed under the
+    map) and an additive compound (each application would extend the
+    value support again)."""
     from genfer_tpu.lang.parser import parse_program
     from genfer_tpu.scanc import UnsupportedForScan, compile_scan
 
@@ -1010,7 +1011,93 @@ def test_while_scan_unsupported_shapes():
         compile_scan(parse_program(
             "P ~ UniformCont(0, 1);\n"
             "X := 0;\n"
-            "while 0 ~ Bernoulli(1/2) { X += 1; P ~ UniformCont(0, 1); }\n"
+            "while 0 ~ Bernoulli(1/2) { X += 1; P := 2 * P + 0; }\n"
             "observe 1 ~ Bernoulli(P);\n"
             "return X"
         ), order=64)
+    with pytest.raises(UnsupportedForScan):
+        compile_scan(parse_program(
+            "P ~ UniformCont(0, 1/2);\n"
+            "X := 0;\n"
+            "while 0 ~ Bernoulli(1/2) { X += 1; P +~ Bernoulli(P); }\n"
+            "observe 1 ~ Bernoulli(P);\n"
+            "return X"
+        ), order=64)
+
+
+def test_while_writes_continuous_fresh_resample():
+    """A loop body that RE-SAMPLES a continuous var from a density is
+    grid-exact per iteration (marginalize+outer re-concentrates on the
+    same static quadrature grid), so it now compiles; p(c = k) has the
+    closed form (1/2)^{k+1} * (2/9)^k here (each iteration's observe
+    contributes E[X e^-X] = int 2e^-2x * x e^-x dx = 2/9)."""
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import compile_scan
+
+    src = (
+        "flip ~ Bernoulli(1/2);\n"
+        "c := 0;\n"
+        "while flip = 1 {\n"
+        "    X ~ Exponential(2);\n"
+        "    observe 1 ~ Poisson(1 * X);\n"
+        "    flip ~ Bernoulli(1/2);\n"
+        "    c += 1;\n"
+        "}\n"
+        "return c"
+    )
+    masses, Z, obj = compile_scan(parse_program(src), order=64, unroll=8)
+    for k in range(8):
+        want = 0.5 ** (k + 1) * (2.0 / 9.0) ** k
+        assert abs(masses[k] - want) <= 1e-11 * want, (k, masses[k], want)
+    out = _cli(src, "--limit", "8", "--unroll", "8")
+    z_lo, z_hi = _interp_interval_Z(out)
+    assert abs(Z - z_lo) <= 1e-11 * z_lo
+    assert abs((Z + obj.last_rest) - z_hi) <= 1e-11 * z_hi
+
+
+def test_while_writes_dirac_value_grid():
+    """Affine writes onto a Dirac VALUE grid inside a loop body: the
+    forward value-set may-analysis absorbs the body once per unrolled
+    exit-split, so the union grid covers every reachable value; the
+    geometric doubling P := 2P from 1/1024 matches the interpreter's
+    interval output exactly."""
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import compile_scan
+
+    src = (
+        "P ~ Dirac(1/1024);\n"
+        "flip ~ Bernoulli(1/2);\n"
+        "while flip = 1 {\n"
+        "    P := 2 * P + 0;\n"
+        "    flip ~ Bernoulli(1/3);\n"
+        "}\n"
+        "observe 1 ~ Bernoulli(P);\n"
+        "return flip"
+    )
+    masses, Z, obj = compile_scan(parse_program(src), order=64, unroll=8)
+    # closed form: unroll=8 exit-splits retain k = 0..7 body runs, so
+    # Z_lo = 1/2048 + sum_{k=1..7} (1/2)(2/3)(1/3)^(k-1) 2^k/1024
+    want = 1.0 / 2048.0 + sum(
+        0.5 * (2.0 / 3.0) * (1.0 / 3.0) ** (k - 1) * 2.0 ** k / 1024.0
+        for k in range(1, 8)
+    )
+    assert abs(Z - want) <= 1e-14, (Z, want)
+    out = _cli(src, "--limit", "4", "--unroll", "8")
+    z_lo, z_hi = _interp_interval_Z(out)
+    assert abs(Z - z_lo) <= 1e-13 * z_lo
+    assert abs((Z + obj.last_rest) - z_hi) <= 1e-13 * z_hi
+    # deterministic bounded loop: exact (rest-free) result
+    src_det = (
+        "P ~ Dirac(1/16);\n"
+        "n := 0;\n"
+        "while n < 3 {\n"
+        "    P := 2 * P + 0;\n"
+        "    n += 1;\n"
+        "}\n"
+        "Q ~ Bernoulli(P);\n"
+        "return Q"
+    )
+    masses, Z, obj = compile_scan(parse_program(src_det), order=64)
+    assert obj.last_rest == 0.0
+    assert abs(Z - 1.0) <= 1e-15
+    assert abs(masses[1] - 0.5) <= 1e-15  # P ends at 1/2
