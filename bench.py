@@ -231,15 +231,27 @@ def bench_pallas_rowstrip(order=256, iters=8):
     dt_tile = timed(conv2d_pallas_tile)
     dt_grouped = timed(conv2d_pallas_grouped)
     flops = flops_conv_trunc(shape, shape)
+    # MXU accounting: useful FLOPs over the MACs the kernel actually
+    # issues (triangular truncation quantized to 128-wide tiles), and
+    # occupancy of the issued MACs against the ~33 TF/s effective
+    # 6-pass f32-HIGHEST dense-matmul ceiling measured on v5e.
+    from genfer_tpu.ops.pallas_conv2d import rowstrip_issued_flops
+    issued = rowstrip_issued_flops(shape, shape, shape)
+    mxu_ceiling = 33e12
+    issue_util = flops / issued
+    mfu = issued / dt_strip / mxu_ceiling
     print(
         f"  pallas rowstrip order={order}: {dt_strip*1e3:.2f} ms "
-        f"({flops/dt_strip/1e9:.0f} GFLOP/s) vs tile {dt_tile*1e3:.2f} ms "
+        f"({flops/dt_strip/1e9:.0f} GFLOP/s, issue_util {issue_util:.2f}, "
+        f"mfu {mfu:.2f}) vs tile {dt_tile*1e3:.2f} ms "
         f"({flops/dt_tile/1e9:.0f} GFLOP/s) vs grouped "
         f"{dt_grouped*1e3:.2f} ms ({flops/dt_grouped/1e9:.0f} GFLOP/s)",
         file=sys.stderr,
     )
     return {"ms": round(dt_strip * 1e3, 3),
             "gflops": round(flops / dt_strip / 1e9, 1),
+            "issue_util": round(issue_util, 3),
+            "mfu": round(mfu, 3),
             "tile_ms": round(dt_tile * 1e3, 3),
             "speedup_vs_tile": round(dt_tile / dt_strip, 2),
             "grouped_ms": round(dt_grouped * 1e3, 3),
@@ -289,55 +301,6 @@ def bench_pallas_batched(order=256, batch=32, iters=4):
     tflops = flops / dt / 1e12
     print(
         f"  pallas batched conv2d order={order} B={batch}: "
-        f"{dt*1e3:.2f} ms/batch, {dt*1e3/batch:.3f} ms/elem, "
-        f"{tflops:.2f} TFLOP/s",
-        file=sys.stderr,
-    )
-    return {"ms_batch": round(dt * 1e3, 3),
-            "ms_per_elem": round(dt * 1e3 / batch, 4),
-            "tflops": round(tflops, 2)}
-
-
-def bench_pallas_batched_rhs(order=256, batch=32, iters=4):
-    """The shared-LHS Pallas MXU kernel (one operand against a batch of
-    RHS operands — the transposed serving layout): per-element latency
-    and throughput."""
-    import os
-
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from genfer_tpu.ops.pallas_conv2d import (conv2d_pallas,
-                                              conv2d_pallas_batched_rhs)
-
-    shape = (order, order)
-    rng = np.random.RandomState(int.from_bytes(os.urandom(4), "little"))
-    a = jnp.asarray(rng.rand(*shape).astype(np.float32))
-    b = jnp.asarray(rng.rand(batch, *shape).astype(np.float32))
-    got = np.asarray(conv2d_pallas_batched_rhs(a, b, shape))
-    single = np.asarray(conv2d_pallas(a, b[0], shape))
-    assert np.array_equal(got[0], single), "batched-rhs kernel diverged"
-
-    def step(carry, _):
-        x, y = carry
-        out = conv2d_pallas_batched_rhs(x, y, shape)
-        out = out / jnp.max(jnp.abs(out))
-        return (x, out), jnp.sum(out)
-
-    @jax.jit
-    def run(a, b):
-        _, sums = jax.lax.scan(step, (a, b), None, length=iters)
-        return sums
-
-    np.asarray(run(a, b))
-    t0 = time.perf_counter()
-    np.asarray(run(a, b))
-    dt = (time.perf_counter() - t0) / iters
-    flops = flops_conv_trunc(shape, shape) * batch
-    tflops = flops / dt / 1e12
-    print(
-        f"  pallas batched-rhs conv2d order={order} B={batch}: "
         f"{dt*1e3:.2f} ms/batch, {dt*1e3/batch:.3f} ms/elem, "
         f"{tflops:.2f} TFLOP/s",
         file=sys.stderr,
@@ -1194,7 +1157,7 @@ def main():
             except ValueError:
                 out = {}
         # superseded sections: never carry them forward from old runs
-        for stale in ("nested_enumeration",):
+        for stale in ("nested_enumeration", "pallas_batched_rhs"):
             if stale not in extra:
                 out.pop(stale, None)
                 out.get("_meta", {}).pop(stale, None)
@@ -1242,11 +1205,6 @@ def main():
         section("pallas_batched", lambda: {
             f"{order}x{batch}": bench_pallas_batched(order=order,
                                                      batch=batch)
-            for order, batch in ((256, 32), (512, 8))
-        })
-        section("pallas_batched_rhs", lambda: {
-            f"{order}x{batch}": bench_pallas_batched_rhs(order=order,
-                                                         batch=batch)
             for order, batch in ((256, 32), (512, 8))
         })
         section("pallas_rowstrip", lambda: {

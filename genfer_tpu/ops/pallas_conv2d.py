@@ -36,6 +36,25 @@ Precision (measured on v5e, order-256 random operands, vs f64):
 f32 only, opt-in (``--backend pallas``); the default f64 path is the XLA
 backend.  Operand sizes are capped by VMEM (~16 MB/core): both padded
 operands must fit, which covers per-axis orders <= ~768.
+
+Small-order accounting (``rowstrip_issued_flops`` + the
+``issue_util``/``mfu`` fields of ``bench.py --pallas``): the triangular
+truncation quantized to 128-wide MXU tiles makes the kernel issue
+2.23x/1.77x/1.56x the useful MACs at orders 256/384/512 (exact tile
+math), and against the ~33 TF/s 6-pass f32-HIGHEST dense ceiling the
+*issued* throughput of the committed artifact rows is ~4%/15%/31% —
+so below order ~512 the single-pair kernel is bound by per-j0 loop
+overhead (slab staging, window rolls, accumulator-tuple carry), not by
+MXU issue.  Scheduling attacks tried and measured on v5e: the
+residue-grouped variant (``conv2d_pallas_grouped``, one slab load +
+roll per (strip, residue-class) instead of per j0) is ~even at 256 and
+slightly behind at 384/512; a contraction-fused variant stacking F=16
+residue-class windows into one (128, F*128)@(F*128, 128) matmul per
+site — F times fewer MXU issues at identical FLOPs — also measured no
+win and cost a 141 s Mosaic compile from the F-unrolled body, and was
+removed.  The recovery path at small order is batching
+(``conv2d_pallas_batched``: 4.9x the single-pair useful throughput at
+256x32 in the committed rows), not further single-pair scheduling.
 """
 
 from __future__ import annotations
@@ -525,113 +544,19 @@ def _build2d_batched(nb: int, a0: int, a1: int, b0: int, b1: int,
     return jax.jit(run)
 
 
-@functools.lru_cache(maxsize=None)
-def _build2d_batched_rhs(nb: int, a0: int, a1: int, b0: int, b1: int,
-                         c0: int, c1: int, interpret: bool, highest: bool):
-    """Shared-LHS variant: one ``a`` operand convolved with a batch of
-    ``b`` operands (the transposed serving layout: a shared prior GF
-    against per-request observation polynomials).  The padded ``a`` is a
-    grid-invariant VMEM input staged once; the batch rides the leading
-    grid axis with one small ``b`` block per step."""
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    c0t = pl.cdiv(c0, TILE)
-    c1t = pl.cdiv(c1, TILE)
-    c0p, c1p = c0t * TILE, c1t * TILE
-    a1p = _round_up(a1, TILE)
-    m_t = a1p // TILE
-    pt = _round_up(max(b0 - 1, 0), 8)
-    r0 = pt + c0p + 16
-    pb = TILE * m_t
-    c_b = pb + TILE * c1t + 2 * TILE
-    prec = (jax.lax.Precision.HIGHEST if highest
-            else jax.lax.Precision.DEFAULT)
-    m_hi = (b1 + TILE - 2) // TILE + 1
-
-    slab_h = TILE + 16
-
-    def kernel(a_ref, b_ref, o_ref, aw_ref):
-        i0t = pl.program_id(1).astype(jnp.int32)
-        i1t = pl.program_id(2).astype(jnp.int32)
-        k0 = i0t * jnp.int32(TILE)
-
-        def j0_body(j0, acc):
-            aw_start = k0 + jnp.int32(pt) - j0
-            off = jax.lax.rem(aw_start, jnp.int32(8))
-            slab = a_ref[pl.ds(pl.multiple_of(aw_start - off, 8), slab_h), :]
-            shift = jax.lax.rem(
-                jnp.int32(slab_h) - off, jnp.int32(slab_h)
-            )
-            aw_ref[:, :] = pltpu.roll(slab, shift, 0)[:TILE]
-
-            def t_body(t, acc):
-                col0 = (jnp.int32(pb)
-                        + (i1t - t - jnp.int32(1)) * jnp.int32(TILE))
-                w = b_ref[0, pl.ds(j0, 1), pl.ds(col0, 3 * TILE)]
-                w2 = jnp.broadcast_to(w, (TILE, 3 * TILE))
-                t128 = pltpu.roll(w2, jnp.int32(2 * TILE), 1, stride=1,
-                                  stride_axis=0)[:, :TILE]
-                at = aw_ref[:, pl.ds(t * TILE, TILE)]
-                return acc + jax.lax.dot(
-                    at, t128,
-                    preferred_element_type=jnp.float32,
-                    precision=prec,
-                )
-
-            t_lo = jnp.maximum(jnp.int32(0), i1t + jnp.int32(1 - m_hi))
-            t_hi = jnp.minimum(jnp.int32(m_t), i1t + jnp.int32(1))
-            return jax.lax.fori_loop(t_lo, t_hi, t_body, acc)
-
-        nj = jnp.minimum(jnp.int32(b0), k0 + jnp.int32(TILE))
-        acc = jax.lax.fori_loop(
-            jnp.int32(0), nj, j0_body, jnp.zeros((TILE, TILE), jnp.float32)
-        )
-        o_ref[0, :, :] = acc
-
-    call = pl.pallas_call(
-        kernel,
-        grid=(nb, c0t, c1t),
-        in_specs=[
-            pl.BlockSpec((r0, a1p), lambda g, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b0, c_b), lambda g, i, j: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, TILE, TILE), lambda g, i, j: (g, i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, c0p, c1p), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TILE, a1p), jnp.float32)],
-        interpret=interpret,
-    )
-
-    def run(a, b):
-        ap = jnp.zeros((r0, a1p), jnp.float32)
-        ap = ap.at[pt : pt + min(a0, c0p), :a1].set(
-            a[: min(a0, c0p)].astype(jnp.float32)
-        )
-        bp = jnp.zeros((nb, b0, c_b), jnp.float32)
-        bp = bp.at[:, :, pb : pb + b1].set(b.astype(jnp.float32))
-        with jax.enable_x64(False):
-            out = call(ap, bp)
-        return out[:, :c0, :c1]
-
-    return jax.jit(run)
-
-
 def conv2d_pallas_batched_rhs(a, b_batch, out_shape, interpret: bool = False,
                               highest: bool = True):
     """Truncated 2-D Cauchy products of one shared ``a`` with a batch of
     ``b`` operands, on the TPU MXU.  ``b_batch`` has shape (B, b0, b1);
-    returns (B, c0, c1)."""
-    c0, c1 = int(out_shape[0]), int(out_shape[1])
-    return _build2d_batched_rhs(
-        int(b_batch.shape[0]), int(a.shape[0]), int(a.shape[1]),
-        int(b_batch.shape[1]), int(b_batch.shape[2]),
-        c0, c1, interpret, highest,
-    )(a, b_batch)
+    returns (B, c0, c1).
+
+    The truncated Cauchy product is commutative, so this is the
+    batched-LHS kernel with the operands swapped: the batch elements
+    supply the sliding row windows and the shared operand supplies the
+    Toeplitz tiles.  A dedicated shared-LHS kernel (batch riding the
+    grid with ``a`` staged grid-invariant) was built and measured on
+    v5e at 5.34 vs 5.38 TF/s — no win — and removed."""
+    return conv2d_pallas_batched(b_batch, a, out_shape, interpret, highest)
 
 
 def conv2d_pallas_batched(a_batch, b, out_shape, interpret: bool = False,
@@ -658,6 +583,31 @@ def conv2d_pallas_tile(a, b, out_shape, interpret: bool = False,
         int(b.shape[0]), int(b.shape[1]),
         c0, c1, interpret, highest,
     )(a, b)
+
+
+def rowstrip_issued_flops(a_shape, b_shape, out_shape):
+    """Issued-MAC FLOPs of the row-strip kernel for these shapes: the
+    number of (128,128,128) MXU dots the kernel actually launches times
+    2*128^3.  Useful FLOPs divided by this is the tile-quantization
+    efficiency of the triangular truncation (the gap no scheduling can
+    recover); issued FLOPs over measured time against a dense-matmul
+    ceiling is the kernel's MXU occupancy.  Mirrors the site/loop-bound
+    math of ``_build2d_rowstrip`` exactly."""
+    b0, b1 = int(b_shape[0]), int(b_shape[1])
+    c0, c1 = int(out_shape[0]), int(out_shape[1])
+    c0t = -(-c0 // TILE)
+    c1t = -(-c1 // TILE)
+    a1p = _round_up(int(a_shape[1]), TILE)
+    m_t = a1p // TILE
+    m_hi = (b1 + TILE - 2) // TILE + 1
+    site_dots = sum(
+        len([ct for ct in range(c1t) if 0 <= ct - m < m_t])
+        for m in range(min(m_hi, c1t))
+    )
+    issued_dots = sum(
+        min(b0, (i0t + 1) * TILE) * site_dots for i0t in range(c0t)
+    )
+    return 2.0 * issued_dots * TILE**3
 
 
 def conv2d_pallas(a, b, out_shape, interpret: bool = False,
