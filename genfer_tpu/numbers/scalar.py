@@ -192,8 +192,14 @@ class F64(_NumberBase):
         return F64(math.nan)
 
     def pow_u32(self, n: int):
-        # f64::powi
-        return F64(self.v ** n if self.v != 0.0 or n != 0 else 1.0)
+        # f64::powi — overflows to +/-inf like Rust, where Python's
+        # float ** raises OverflowError instead
+        if self.v == 0.0 and n == 0:
+            return F64(1.0)
+        try:
+            return F64(self.v ** n)
+        except OverflowError:
+            return F64(-math.inf if (self.v < 0.0 and n % 2) else math.inf)
 
     def sqrt(self):
         if self.v < 0.0:

@@ -375,14 +375,21 @@ _FINITE_CAP = 4096
 
 class _ContGrid:
     """Value grid of a continuous variable: quadrature nodes + weights
-    (``dirac`` grids are finite value sets with unit weights)."""
+    (``dirac`` grids are finite value sets with unit weights).
 
-    __slots__ = ("xs", "gw", "dirac")
+    ``values_union`` marks grids whose node set is the forward
+    value-set may-analysis union (_dirac_value_sets) — only then may
+    affine assignments compile as value-lookup index kernels, because
+    only then is a missing destination value PROVEN unreachable (zero
+    mass) rather than silently dropped."""
 
-    def __init__(self, xs, gw, dirac=False):
+    __slots__ = ("xs", "gw", "dirac", "values_union")
+
+    def __init__(self, xs, gw, dirac=False, values_union=False):
         self.xs = np.asarray(xs, dtype=np.float64)
         self.gw = np.asarray(gw, dtype=np.float64)
         self.dirac = dirac
+        self.values_union = values_union or dirac
 
 
 def _collect_samples(stmts, out, copies=None):
@@ -710,11 +717,17 @@ def _rename_type_changes(program: ast.Program) -> ast.Program:
 _DIRAC_SET_CAP = 256
 
 
-def _dirac_value_sets(stmts, dvars: set, bound, infinite, quad: set,
-                      unroll: int = 8):
-    """Forward may-analysis of the value sets of dirac-class continuous
-    variables (defined only by fractional Dirac samples and affine
-    assignments — reference corpus: test/expect/assign/*-cont.sgcl).
+def _dirac_value_sets(stmts, dvars: set, bound, infinite,
+                      quad_seeds: dict, unroll: int = 8):
+    """Forward may-analysis of the value sets of continuous variables.
+
+    Dirac-class variables (defined only by fractional Dirac samples and
+    affine assignments — reference corpus: test/expect/assign/*-cont.sgcl)
+    start empty; quadrature-class variables (``quad_seeds``: var -> node
+    array) start at their quadrature node set, so affine writes onto a
+    quadrature grid are covered too — the image nodes join the grid with
+    ZERO quadrature weight (only index kernels can move mass there; a
+    fresh density re-sample deposits on the weighted seed nodes only).
     The union over all program points is each variable's static value
     grid; affine ops become index kernels on it.  Value arithmetic here
     uses the EXACT float expressions the kernel builders use
@@ -722,6 +735,18 @@ def _dirac_value_sets(stmts, dvars: set, bound, infinite, quad: set,
     May-union over branches is sound: a superset grid only adds
     never-hit nodes."""
     vals: dict = {v: set() for v in dvars}
+    seeds = {v: {float(x) for x in xs} for v, xs in quad_seeds.items()}
+    for v, s in seeds.items():
+        vals[v] = set(s)
+    # a quadrature seed makes order-sized sets legitimate: scale the
+    # growth cap with the largest seed (an affine chain in a while body
+    # adds one image of the node set per unrolled iteration, so the
+    # genuine union of a single-site loop is (unroll+1) seeds; allow
+    # one extra straight-line site on top and refuse beyond — the axis
+    # memory is real, every image node is a grid column)
+    cap = max(_DIRAC_SET_CAP,
+              (unroll + 2) * max((len(s) for s in seeds.values()),
+                                 default=0))
 
     def src_vals(w):
         if w in vals:
@@ -730,10 +755,6 @@ def _dirac_value_sets(stmts, dvars: set, bound, infinite, quad: set,
                     "dirac-grid var read before its first definition"
                 )
             return vals[w]
-        if w in quad:
-            raise UnsupportedForScan(
-                "affine assignment from a quadrature grid"
-            )
         if infinite[w]:
             raise UnsupportedForScan(
                 "affine dirac assignment from an unbounded var"
@@ -759,11 +780,11 @@ def _dirac_value_sets(stmts, dvars: set, bound, infinite, quad: set,
                 # so the union stays a sound may-analysis.
                 u = s.unroll if s.unroll is not None else unroll
                 for _ in range(u):
-                    before = {v: len(vals[v]) for v in dvars}
+                    before = {v: len(vals[v]) for v in vals}
                     visit(s.body)
-                    if all(len(vals[v]) == before[v] for v in dvars):
+                    if all(len(vals[v]) == before[v] for v in vals):
                         break
-            elif isinstance(s, ast.Sample) and s.var in dvars:
+            elif isinstance(s, ast.Sample) and s.var in vals:
                 d = s.distribution
                 if s.add_previous_value:
                     # `v +~ Bernoulli(v)`: each node x in [0, 1] may
@@ -778,13 +799,18 @@ def _dirac_value_sets(stmts, dvars: set, bound, infinite, quad: set,
                         x + 1.0 for x in src_vals(s.var)
                         if 0.0 <= x <= 1.0
                     }
+                elif s.var in seeds:
+                    # fresh density sample on a quadrature-class var:
+                    # marginalize+outer deposits pdf*gw mass on the
+                    # weighted seed nodes only
+                    vals[s.var] |= seeds[s.var]
                 elif isinstance(d, ast.Dirac):
                     vals[s.var].add(_static_ratio_f(d.a))
                 else:
                     raise UnsupportedForScan(
                         f"dirac-grid var sampled from {d}"
                     )
-            elif isinstance(s, ast.Assign) and s.var in dvars:
+            elif isinstance(s, ast.Assign) and s.var in vals:
                 off = s.offset
                 if isinstance(off, Slot) or (
                     s.addend is not None and isinstance(s.addend[0], Slot)
@@ -804,9 +830,9 @@ def _dirac_value_sets(stmts, dvars: set, bound, infinite, quad: set,
                     }
                 else:
                     vals[s.var] |= adds
-                if len(vals[s.var]) > _DIRAC_SET_CAP:
+                if len(vals[s.var]) > cap:
                     raise UnsupportedForScan("dirac value grid too large")
-            elif isinstance(s, ast.Decrement) and s.var in dvars:
+            elif isinstance(s, ast.Decrement) and s.var in vals:
                 raise UnsupportedForScan(
                     "decrement on a dirac value grid"
                 )
@@ -846,6 +872,27 @@ def _writes_any(block, dvars: set) -> bool:
                 return True
         elif isinstance(s, ast.Normalize):
             if _writes_any(s.stmts, dvars):
+                return True
+    return False
+
+
+def _affine_writes_any(stmts, cvars: set) -> bool:
+    """True if any non-copy Assign targets a var in ``cvars`` (at any
+    block depth) — the trigger for running the value-set analysis over
+    quadrature-class variables (their grids then grow image nodes)."""
+    for s in stmts:
+        if isinstance(s, ast.Assign) and s.var in cvars:
+            if not _is_copy_assign(s):
+                return True
+        elif isinstance(s, ast.IfThenElse):
+            if (_affine_writes_any(s.then, cvars)
+                    or _affine_writes_any(s.els, cvars)):
+                return True
+        elif isinstance(s, ast.While):
+            if _affine_writes_any(s.body, cvars):
+                return True
+        elif isinstance(s, ast.Normalize):
+            if _affine_writes_any(s.stmts, cvars):
                 return True
     return False
 
@@ -989,7 +1036,7 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
                 xs = np.concatenate([xs, xs + 1.0])
                 gw = np.concatenate([gw, np.zeros(len(gw))])
             cont[v] = _ContGrid(xs, gw)
-        if dirac_class:
+        if dirac_class or _affine_writes_any(program.stmts, set(cont)):
             for v in dirac_class:
                 comps = [s for s in samples.get(v, [])
                          if s.add_previous_value]
@@ -1016,7 +1063,7 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
                     )
             sets = _dirac_value_sets(
                 program.stmts, set(dirac_class), bound, infinite,
-                set(cont), unroll=unroll,
+                {v: g.xs for v, g in cont.items()}, unroll=unroll,
             )
             for v in dirac_class:
                 vv = sets[v]
@@ -1026,6 +1073,23 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
                     )
                 cont[v] = _ContGrid(
                     sorted(vv), np.ones(len(vv)), dirac=True
+                )
+            for v, g in list(cont.items()):
+                # affine writes onto a quadrature grid: the image nodes
+                # join the grid with ZERO quadrature weight (no density
+                # deposits prior mass there; only the affine index
+                # kernels move mass onto them).  Every quadrature grid
+                # that went through the analysis is a value union now —
+                # affine assigns may compile as value-lookup kernels.
+                if v in dirac_class:
+                    continue
+                ext = sorted(sets[v] - {float(x) for x in g.xs})
+                cont[v] = _ContGrid(
+                    np.concatenate([g.xs, np.asarray(ext)])
+                    if ext else g.xs,
+                    np.concatenate([g.gw, np.zeros(len(ext))])
+                    if ext else g.gw,
+                    values_union=True,
                 )
         sampled = _check_cont_sampled_first(program.stmts, set(cont), set())
         if program.result in cont and program.result not in sampled:
@@ -1648,7 +1712,8 @@ class _MassCompiler:
                         "a while loop"
                     )
             elif isinstance(s, ast.Assign) and s.var in self.cont:
-                if not self.cont[s.var].dirac and not _is_copy_assign(s):
+                if (not self.cont[s.var].values_union
+                        and not _is_copy_assign(s)):
                     raise UnsupportedForScan(
                         "while writes a quadrature-grid variable"
                     )
@@ -1688,12 +1753,13 @@ class _MassCompiler:
             # on the SAME static grid; Dirac values were absorbed by
             # the unrolled value-set may-analysis), exact copy-assigns
             # (target aliases the source grid), and affine assigns onto
-            # Dirac VALUE grids (the may-analysis ran the body `unroll`
-            # times, matching the exit-split count).  What cannot work
-            # per-iteration: additive compounds (each application
-            # extends the value support — rejected at grid build) and
-            # affine writes onto a quadrature grid (its node set is not
-            # closed under the map).
+            # value-union grids — Dirac value sets AND quadrature grids
+            # extended with their affine image nodes (the may-analysis
+            # ran the body `unroll` times, matching the exit-split
+            # count, so the union covers every reachable node).  What
+            # cannot work per-iteration: additive compounds (each
+            # application extends the value support — rejected at grid
+            # build).
             self._check_while_cont_writes(stmt.body)
         w = self._event_weight(stmt.cond)
         body = self.compile_block(stmt.body)
@@ -1980,9 +2046,11 @@ class _MassCompiler:
                 return ap
             gv = self.cont.get(v)
             gw = self.cont.get(w) if w is not None else None
-            if (gv is None or gv.dirac) and (gw is None or gw.dirac):
-                # finite value sets on every participating axis:
-                # affine ops are index kernels on the dirac value grids
+            if ((gv is None or gv.values_union)
+                    and (gw is None or gw.values_union)):
+                # value-union grids on every participating axis (Dirac
+                # value sets, or quadrature grids extended with their
+                # affine image nodes): affine ops are index kernels
                 return self._value_assign_op(stmt)
             raise UnsupportedForScan("assignment on a continuous grid")
         n = self.sizes[v]

@@ -824,6 +824,111 @@ def _random_while_contwrite_program(rng):
     )
 
 
+def _random_affine_quadrature_program(rng):
+    """Random programs with affine writes onto QUADRATURE grids (the
+    round-4 fragment extension: image nodes join the grid with zero
+    quadrature weight, affine ops compile as value-lookup kernels):
+    straight-line chains, writes inside bounded while loops, fresh
+    dirac-class targets fed from a quadrature source, and interleaved
+    fresh density re-samples."""
+    shape = rng.randint(0, 4)
+    a = int(rng.randint(1, 4))
+    b = int(rng.randint(0, 3))
+    r = rng.choice(["1/2", "1/4", "1/3"])
+    c_obs = int(rng.randint(0, 3))
+    if shape == 0:  # straight-line affine chain
+        a2, b2 = int(rng.randint(1, 3)), int(rng.randint(0, 2))
+        return (
+            "Y ~ UniformCont(0, 1);\n"
+            f"Y := {a} * Y + {b};\n"
+            + (f"Y += {b2};\n" if rng.randint(0, 2)
+               else f"Y := {a2} * Y + {b2};\n")
+            + f"observe {c_obs} ~ Poisson({r} * Y);\n"
+            f"W ~ Poisson({rng.choice(['1/4', '1/2'])} * Y);\n"
+            "return W"
+        )
+    if shape == 1:  # affine write inside a counter-bounded while
+        return (
+            "Y ~ UniformCont(0, 1);\n"
+            f"n ~ Binomial(2, {rng.choice(['1/2', '1/3'])});\n"
+            "c := 0;\n"
+            "while n > 0 {\n"
+            f"    Y := {a} * Y + {b};\n"
+            f"    observe {int(rng.randint(0, 2))} ~ "
+            f"Poisson({r} * Y);\n"
+            "    c += 1;\n"
+            "    n -= 1;\n"
+            "}\n"
+            f"W ~ Poisson(1/4 * Y);\n"
+            "return W"
+        )
+    if shape == 2:  # fresh dirac-class target from a quadrature source
+        return (
+            "Y ~ UniformCont(0, 1);\n"
+            f"Z := {a} * Y + {b};\n"
+            f"observe {c_obs} ~ Poisson({r} * Z);\n"
+            f"W ~ Poisson({rng.choice(['1/4', '1/2'])} * Z);\n"
+            "return W"
+        )
+    # shape 3: affine write, then a fresh density re-sample on the
+    # same (extended) grid — re-concentrates on the weighted nodes
+    return (
+        "Y ~ UniformCont(0, 1);\n"
+        f"Y := {a} * Y + {b};\n"
+        f"observe {c_obs} ~ Poisson({r} * Y);\n"
+        "Y ~ UniformCont(0, 1);\n"
+        f"observe {int(rng.randint(0, 2))} ~ Poisson({r} * Y);\n"
+        "W ~ Poisson(1/2 * Y);\n"
+        "return W"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_affine_quadrature_vs_interpreter(seed):
+    """Random affine-on-quadrature-grid programs (round-4 fragment
+    extension) vs the interpreter: Z and every exact p(k)."""
+    import re as _re
+
+    import numpy as np
+
+    from genfer_tpu.scanc import UnsupportedForScan, compile_scan
+
+    rng = np.random.RandomState(7000 + seed)
+    src = _random_affine_quadrature_program(rng)
+    program = parse_program(src)
+    try:
+        masses, Z, obj = compile_scan(program, order=32, unroll=4)
+    except UnsupportedForScan as e:
+        pytest.fail(f"must compile (shape is in-fragment): {e}\n{src}")
+    out = _run_cli_text(src, "--limit", "8", "--unroll", "4")
+    if "while" in src:
+        z_lo, z_hi = _while_interval(out)
+        assert abs(Z - z_lo) <= 1e-8 * max(z_lo, 1e-30), src
+        if np.isfinite(z_hi):
+            got_hi = Z + obj.last_rest
+            assert abs(got_hi - z_hi) <= 1e-8 * max(z_hi, 1e-30), src
+    else:
+        m = _re.search(r"Z = ([-\d.e+]+)", out)
+        assert m is not None, out
+        assert abs(Z - float(m.group(1))) <= 1e-8 * max(
+            float(m.group(1)), 1e-30
+        ), src
+    probs = {
+        int(m.group(1)): float(m.group(2))
+        for m in _re.finditer(
+            r"Unnormalized: p\((\d+)\)\s*=\s*([\d.e+-]+)", out
+        )
+    } or {
+        int(m.group(1)): float(m.group(2))
+        for m in _re.finditer(r"^p\((\d+)\) = ([\d.e+-]+)", out, _re.M)
+    }
+    assert probs, out
+    for k, v in probs.items():
+        got = float(masses[k]) if k < len(masses) else 0.0
+        if v > 1e-280:
+            assert abs(got - v) <= 1e-8 * v, (k, got, v, src)
+
+
 @pytest.mark.parametrize("seed", range(10))
 def test_random_while_contwrite_vs_interpreter(seed):
     """Random while programs writing continuous state in the loop body

@@ -999,22 +999,12 @@ def test_while_in_scanned_template_matches_interpreter():
 
 
 def test_while_scan_unsupported_shapes():
-    """The While-body continuous writes the compiler must still refuse
-    (fall back to the interpreter) rather than mis-compile: an affine
-    write onto a quadrature grid (its node set is not closed under the
-    map) and an additive compound (each application would extend the
-    value support again)."""
+    """The While-body continuous write the compiler must still refuse
+    (fall back to the interpreter) rather than mis-compile: an additive
+    compound (each application would extend the value support again)."""
     from genfer_tpu.lang.parser import parse_program
     from genfer_tpu.scanc import UnsupportedForScan, compile_scan
 
-    with pytest.raises(UnsupportedForScan):
-        compile_scan(parse_program(
-            "P ~ UniformCont(0, 1);\n"
-            "X := 0;\n"
-            "while 0 ~ Bernoulli(1/2) { X += 1; P := 2 * P + 0; }\n"
-            "observe 1 ~ Bernoulli(P);\n"
-            "return X"
-        ), order=64)
     with pytest.raises(UnsupportedForScan):
         compile_scan(parse_program(
             "P ~ UniformCont(0, 1/2);\n"
@@ -1023,6 +1013,33 @@ def test_while_scan_unsupported_shapes():
             "observe 1 ~ Bernoulli(P);\n"
             "return X"
         ), order=64)
+
+
+def test_while_writes_affine_quadrature_grid():
+    """An affine write onto a quadrature grid inside a while body: the
+    value-set may-analysis absorbs the body once per unrolled
+    exit-split, so the image nodes (zero quadrature weight) cover every
+    reachable iteration depth.  Closed form: exiting after k iterations
+    has path weight (1/2)^(k+1) and the final observe multiplies by
+    E[2^k * U] = 2^(k-1), so UNNORMALIZED p(k) = 1/4 exactly for every
+    k below the unroll horizon.  (The interpreter is no oracle here:
+    its moment intervals blow up through the unbounded rest weight and
+    it panics at the reference-parity non-negative-moments assert,
+    main.rs:520.)"""
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import compile_scan
+
+    masses, Z, obj = compile_scan(parse_program(
+        "P ~ UniformCont(0, 1);\n"
+        "X := 0;\n"
+        "while 0 ~ Bernoulli(1/2) { X += 1; P := 2 * P + 0; }\n"
+        "observe 1 ~ Bernoulli(P);\n"
+        "return X"
+    ), order=32, unroll=6, device="cpu")
+    for k in range(6):
+        assert abs(masses[k] - 0.25) <= 1e-12, (k, masses[k])
+    assert abs(Z - 1.5) <= 1e-12
+    assert abs(obj.last_rest - 0.5 ** 6) <= 1e-12
 
 
 def test_while_writes_continuous_fresh_resample():
