@@ -590,22 +590,37 @@ def bench_highorder(orders=(1024, 2048)):
         # overshoot is kernel overhead, not work delivered)
         macs = flops_conv_trunc((order, order), (order, order)) / 2
         row = {}
-        for name, P, inner, group in (
+        for name, P, inner, group, env in (
             (
                 "pallas_f32", 512,
                 lambda x, y: conv2d_pallas(
                     x, y, (2 * 512 - 1, 2 * 512 - 1), highest=True
                 ),
                 32,
+                {},
             ),
             (
+                # the pure-emulation row: with the ozaki route wired
+                # into _conv_impl it must be pinned OFF or this would
+                # silently re-measure the ozaki path
                 "xla_f64", 256,
                 lambda x, y: be.conv_trunc(
                     x, y, (2 * 256 - 1, 2 * 256 - 1)
                 ),
                 25,
+                {"GENFER_OZAKI": "0"},
+            ),
+            (
+                "ozaki_f64", 512,
+                lambda x, y: be.conv_trunc(
+                    x, y, (2 * 512 - 1, 2 * 512 - 1)
+                ),
+                4,
+                {"GENFER_OZAKI": "force", "GENFER_OZAKI_MIN_FLOPS": "0"},
             ),
         ):
+            saved = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
             try:
                 kw = dict(out_dtype=jnp.float64)
                 np.asarray(conv2d_blocked(
@@ -624,7 +639,100 @@ def bench_highorder(orders=(1024, 2048)):
                 }
             except Exception as e:  # record, keep going
                 row[name] = f"FAILED {type(e).__name__}: {e}"
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
             print(f"highorder {order} {name}: {row[name]}",
+                  file=sys.stderr, flush=True)
+            _release_device_memory()
+        results[order] = row
+    return results
+
+
+def bench_ozaki(orders=(256, 384, 512), iters=6):
+    """A/B of the f64-accuracy 2-var conv paths at the same truncated
+    shape (operands = out = order^2, the corpus working shape): the XLA
+    f64-emulation einsum (GENFER_OZAKI=0) vs the ozaki error-free-split
+    MXU kernel (ops/ozaki_conv.py) across pass types and pair cutoffs.
+
+    Timing is scan-amortized on-device with np.asarray readback
+    (block_until_ready is a no-op through the tunnel); accuracy is a
+    host-exact spot check of random output coefficients — the full host
+    conv is tens of seconds at 512.  The routing env is part of
+    backend._conv_jit's compile-cache key, so each variant really
+    recompiles."""
+    import os as _os
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_enable_x64", True)
+    from genfer_tpu.ops.blocked_conv import spot_check
+    from genfer_tpu.taylor.backend import _conv_impl
+
+    variants = [
+        ("xla_f64_emulation", {"GENFER_OZAKI": "0"}),
+        ("ozaki_int8_pb7", {"GENFER_OZAKI_IMPL": "int8",
+                            "GENFER_OZAKI_PAIR_BITS": "7"}),
+        ("ozaki_int8_pb6", {"GENFER_OZAKI_IMPL": "int8",
+                            "GENFER_OZAKI_PAIR_BITS": "6"}),
+        ("ozaki_bf16_pb7", {"GENFER_OZAKI_IMPL": "bf16",
+                            "GENFER_OZAKI_PAIR_BITS": "7"}),
+    ]
+    force = {"GENFER_OZAKI": "force", "GENFER_OZAKI_MIN_FLOPS": "0"}
+    results = {}
+    for order in orders:
+        shape = (order, order)
+        rng = np.random.RandomState(0)
+        a0 = jnp.asarray(rng.rand(*shape))
+        b0 = jnp.asarray(rng.rand(*shape))
+        flops = flops_conv_trunc(shape, shape)
+        row = {}
+        for name, env in variants:
+            env = dict(env) if name.startswith("xla") else {**force, **env}
+            saved = {k: _os.environ.get(k) for k in env}
+            _os.environ.update(env)
+            try:
+                def step(carry, _):
+                    a, b = carry
+                    out = _conv_impl(jnp, a, b, shape)
+                    out = out / jnp.max(jnp.abs(out))
+                    return (out, a), jnp.sum(out)
+
+                @jax.jit
+                def run(a, b):
+                    _, sums = jax.lax.scan(step, (a, b), None, length=iters)
+                    return sums
+
+                np.asarray(run(a0, b0))  # compile + warm
+                t0 = _time.perf_counter()
+                np.asarray(run(a0, b0))
+                dt = (_time.perf_counter() - t0) / iters
+                out = np.asarray(
+                    jax.jit(lambda a, b: _conv_impl(jnp, a, b, shape))(
+                        a0, b0
+                    )
+                )
+                err = spot_check(np.asarray(a0), np.asarray(b0), out, 64)
+                row[name] = {
+                    "ms": round(dt * 1e3, 3),
+                    "gflops": round(flops / dt / 1e9, 1),
+                    "spot_rel_err": float(f"{err:.3e}"),
+                }
+            except Exception as e:  # record, keep going
+                row[name] = f"FAILED {type(e).__name__}: {e}"
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        _os.environ.pop(k, None)
+                    else:
+                        _os.environ[k] = v
+            print(f"ozaki {order} {name}: {row[name]}",
                   file=sys.stderr, flush=True)
             _release_device_memory()
         results[order] = row
@@ -1167,6 +1275,8 @@ def main():
                     help="superseded nested-enumeration comparison "
                     "(not part of --all; see docs/mass_semantics.md)")
     ap.add_argument("--highorder", action="store_true")
+    ap.add_argument("--ozaki", action="store_true",
+                    help="f64-accuracy MXU conv A/B (ops/ozaki_conv.py)")
     ap.add_argument("--all", action="store_true",
                     help="suite + scaling + pallas + serving + scan + "
                     "highorder")
@@ -1175,6 +1285,7 @@ def main():
         args.suite = args.scaling = args.pallas = args.serving = True
         args.scan = True
         args.highorder = True
+        args.ozaki = True
 
     _ensure_native_built()
     device = _probe_device()
@@ -1292,6 +1403,8 @@ def main():
     # buffers on the TPU worker that can RESOURCE_EXHAUST later compiles
     if args.scaling:
         section("scaling", bench_order_scaling)
+    if args.ozaki:
+        section("ozaki", bench_ozaki)
     if args.highorder:
         section("highorder_conv", bench_highorder)
     if args.suite:

@@ -1,128 +1,324 @@
-"""f64-accuracy truncated 2-D Cauchy products on the bf16 MXU
+"""f64-accuracy truncated 2-D Cauchy products on the TPU MXU
 (Ozaki-style error-free splitting).
 
-The default f64 conv path (taylor/backend.py `_conv_dense`) is bound by
-XLA's software f64 emulation: the one hot contraction
-``einsum("kji,jl->kil")`` runs on the VPU at ~95 GF/s useful (measured,
-v5e, order 512) because the MXU has no f64 mode.  This module routes
-the SAME contraction through the MXU with every pass bit-exact:
+The default f64 conv path (taylor/backend.py ``_conv_dense``) is bound
+by XLA's software f64 emulation: the hot contraction
+``einsum("kji,jl->kil")`` runs at ~95 GF/s useful (measured, v5e,
+order 512) because the MXU has no f64 mode.  This module routes the
+SAME contraction through the MXU with every pass bit-exact:
 
-* scale each operand column by a power of two (exact), so entries lie
-  in [-1, 1];
+* scale each operand column by a power of two (exact) so entries lie in
+  [-1/2, 1/2];
 * peel each scaled operand into T=8 integer chunks of 7 bits
-  (``x = sum_t C_t 2^{-7(t+1)} + R``, |C_t| <= 128, |R| <= 2^-57).
-  Every step is EXACT in f64: the scaling is a power of two, the
-  rounded chunk is representable, and the remainder subtraction is
-  exact because the true difference spans < 53 bits;
-* one single-pass bf16 matmul per chunk pair (t, u): products of 7-bit
-  integers are <= 2^14 and the f32 accumulator holds sums of up to
-  1024 of them (2^14 * 2^10 = 2^24) without rounding — the MXU pass
-  returns the EXACT integer dot;
-* combine the pair results in f64 with power-of-two weights and undo
-  the column scales.
+  (``x = sum_t C_t 2^{-7(t+1)} + R``, |C_t| <= 64, |R| <= 2^-57).
+  Every step is EXACT in f64: the scale is a power of two, the rounded
+  chunk is representable, and the remainder subtraction is exact
+  because the true difference spans < 53 bits;
+* one MXU pass per chunk pair (t, u), in int8 with an int32
+  accumulator (native on v5e, 2x bf16 throughput): products of the
+  +-64 chunks are <= 2^12 and int32 addition is exact, so the pass
+  returns the EXACT integer dot for contraction lengths up to 2^19
+  (the bf16/f32 fallback impl is exact up to length 4096 per pass);
+* accumulate the passes of equal total weight t+u = s into ONE integer
+  buffer per diagonal (int32 adds of values <= 8 * 2^12 * k stay exact
+  for k <= 2^16), so the f64 combine reads pair_bits+1 group buffers
+  with power-of-two weights instead of 36 — the HBM-bound f64 step
+  shrinks ~4.5x;
+* undo the column scales in f64 and reduce anti-diagonals.
 
-Keeping pairs with t+u <= P truncates the result at ~2^{-7(P+2)}
-relative to the per-column scale product: P=7 (36 MXU passes) gives
-~1e-16 normwise, P=6 (28 passes) ~1e-14.  The error is NORMWISE
-(relative to column-max * column-max * k), the same class as true f64
-summation delivers on the positive, well-scaled coefficient tensors of
-this workload — measured max rel err vs the f64 path is ~1e-15 on
-uniform operands at order 512 (see tests/test_parallel_ops.py).
+Keeping pairs with t + u <= P truncates at ~2^{-7(P+2)-4} relative to
+the per-column scale product: P=7 (36 passes, the default) lands at the
+chunk-remainder floor ~1e-16 normwise; P=6 (28 passes) at ~1e-13.  The
+error is NORMWISE per output entry (k, l): relative to
+``colscale_a * colscale_b * contraction length``, the same class as
+f64 summation delivers on well-scaled operands.  Entries more than
+~2^-50 BELOW their column-scale product lose relative accuracy — the
+measured componentwise cliff on Poisson-tail corpus columns is pinned
+in tests/test_ozaki_conv.py, and extreme column scales (outside
+2^+-900) clamp, mirroring where the device's own f64 emulation flushes
+(CLAUDE.md range-cliff measurements).
 
-Cost model: 36 single-pass bf16 matmuls vs ~6 passes for one
-f32-HIGHEST matmul — i.e. ~6x one f32-HIGHEST einsum, far below the
-~50x the f64 software emulation costs (364 ms vs ~7 ms of bf16-pass
-time at order 512).  The f64 combine (36 weighted adds into the
-[c0, a1, b1] accumulator) is HBM-bound and dominates; chunk count and
-pair cutoff are tunable.
+Cost model: 36 int8 MXU passes + 8 group-to-f64 combines vs the ~50x
+slower f64 software emulation of one einsum.  Measured numbers live in
+bench-results.json (``ozaki`` section) — bench.py --ozaki writes them.
 
 Reference spec being beaten: the f64 multivariate product of
-/root/reference/src/multivariate_taylor.rs:984-1012 (host Rust; our
-committed f64 XLA row is already 26x that at matched accuracy — this
-path multiplies the device-side margin while keeping ~1e-14 class
-accuracy, where the Pallas f32 kernels cap at ~1e-6).
+/root/reference/src/multivariate_taylor.rs:984-1012 (host Rust; the
+committed f64 XLA row is already ~26x that at matched accuracy — this
+path multiplies the device-side margin while keeping ~1e-14-class
+normwise accuracy, where the Pallas f32 kernels cap at ~1e-6).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
-# 7-bit chunks: products fit 14 bits, f32 accumulates 2^24 exactly ->
-# contraction length up to 1024 stays bit-exact per MXU pass
+# 7-bit signed chunks scaled into [-64, 64]: products fit 2^12; the
+# int32 accumulator is exact for contractions up to 2^19 per pass and
+# 2^16 with the 8-pass diagonal groups folded in
 CHUNK_BITS = 7
 N_CHUNKS = 8  # 8 * 7 = 56 bits >= the 53-bit f64 mantissa
-MAX_K = 1 << (24 - 2 * CHUNK_BITS)  # 1024
+MAX_K_INT8 = 1 << 16
+#: f32 accumulates 2^12-bounded products exactly up to length 4096;
+#: folding 8 passes per diagonal group in f32 is exact up to 512
+MAX_K_BF16 = 4096
+#: column scales are clamped to 2^+-MAX_SCALE_EXP: beyond that the
+#: device's own f64 emulation flushes products anyway (CLAUDE.md)
+MAX_SCALE_EXP = 900.0
 
 
 def _pow2_colscale(jnp, x):
-    """Per-column power-of-two scale 2^ceil(log2 max|col|) (1.0 for
-    all-zero columns).  exp2/floor(log2) are exact on the TPU's f64
-    emulation (measured; CLAUDE.md numeric policy), and dividing by a
-    power of two is always exact."""
+    """Per-column power-of-two scale 2^(ceil(log2 max|col|) + 1), so
+    scaled entries lie in [-1/2, 1/2] (1.0 for all-zero columns).
+    exp2/floor(log2) are exact on the TPU's f64 emulation (measured;
+    CLAUDE.md numeric policy) and dividing by a power of two is exact."""
     m = jnp.max(jnp.abs(x), axis=0)
-    e = jnp.ceil(jnp.log2(jnp.where(m > 0.0, m, 1.0)))
+    e = jnp.ceil(jnp.log2(jnp.where(m > 0.0, m, 1.0))) + 1.0
+    e = jnp.clip(e, -MAX_SCALE_EXP, MAX_SCALE_EXP)
     return jnp.exp2(e)
 
 
-def _chunk(jnp, x):
-    """Error-free split of ``x`` (f64, |x| <= 1) into N_CHUNKS bf16
-    arrays of integers in [-128, 128]:
+def _chunk(jnp, x, dtype):
+    """Error-free split of ``x`` (f64, |x| <= 1/2) into N_CHUNKS arrays
+    of integers in [-64, 64] (as ``dtype``):
     x = sum_t chunks[t] * 2^{-7(t+1)} + R, |R| <= 2^-57."""
     chunks = []
     r = x
     for t in range(N_CHUNKS):
         s = float(2.0 ** (CHUNK_BITS * (t + 1)))
         c = jnp.round(r * s)
-        chunks.append(c.astype(jnp.bfloat16))
+        chunks.append(c.astype(dtype))
         r = r - c / s
     return chunks
 
 
+def ozaki_conv2d_traced(jnp, a, b, out_shape, pair_bits: int = 7,
+                        impl: str = "int8"):
+    """Traceable body: the truncated 2-D Cauchy product of f64 ``a``
+    (a0, a1) and ``b`` (b0, b1) to ``out_shape`` (c0, c1) via exact MXU
+    chunk passes.  Safe to call inside jit/scan.  No finite-input
+    guard — see ``ozaki_conv2d`` for the guarded entry point."""
+    from genfer_tpu.taylor.backend import _antidiag_sum, _toeplitz
+
+    c0, c1 = int(out_shape[0]), int(out_shape[1])
+    b0 = int(b.shape[0])
+    a1, b1 = int(a.shape[1]), int(b.shape[1])
+    max_k = MAX_K_INT8 if impl == "int8" else MAX_K_BF16
+    if b0 > max_k:
+        raise ValueError(
+            f"ozaki conv contraction length {b0} > {max_k}: the {impl} "
+            "accumulator would round — route through the blocked driver"
+        )
+    if impl == "int8":
+        in_dtype, acc_dtype = jnp.int8, jnp.int32
+    else:
+        in_dtype, acc_dtype = jnp.bfloat16, jnp.float32
+
+    sa = _pow2_colscale(jnp, a)  # [a1]
+    sb = _pow2_colscale(jnp, b)  # [b1]
+    ca = _chunk(jnp, a / sa[None, :], in_dtype)
+    cb = _chunk(jnp, b / sb[None, :], in_dtype)
+    n_t = min(N_CHUNKS, pair_bits + 1)
+    tas = [_toeplitz(jnp, ca[t], c0, b0) for t in range(n_t)]
+
+    # one integer accumulator per diagonal s = t + u: every add is
+    # exact (int32 always; f32 because 8 * 2^12 * k <= 2^24 for the
+    # fallback impl's k cap), so only pair_bits+1 buffers reach the
+    # HBM-bound f64 combine
+    h = jnp.zeros((c0, a1, b1), jnp.float64)
+    for s in range(min(2 * N_CHUNKS - 1, pair_bits + 1)):
+        g = None
+        for t in range(max(0, s - N_CHUNKS + 1), min(s + 1, n_t)):
+            u = s - t
+            d = jnp.einsum(
+                "kji,jl->kil", tas[t], cb[u],
+                preferred_element_type=acc_dtype,
+            )
+            g = d if g is None else g + d
+        w = 2.0 ** (-CHUNK_BITS * (s + 2))
+        h = h + g.astype(jnp.float64) * w
+    h = h * sa[None, :, None] * sb[None, None, :]
+    return _antidiag_sum(jnp, h, c1)
+
+
+def ozaki_conv2d_guarded(jnp, a, b, out_shape, pair_bits: int | None = None,
+                         impl: str | None = None):
+    """Traceable guarded entry: all-finite operands run the ozaki chunk
+    passes; non-finite coefficients keep IEEE f64 propagation (the
+    reference's inf/NaR semantics, load-bearing in nested-inference
+    normalize factors) by branching to the dense XLA f64 kernel on
+    device — no host sync.  ``pair_bits``/``impl`` default from
+    GENFER_OZAKI_PAIR_BITS / GENFER_OZAKI_IMPL (read at trace time;
+    backend._conv_jit keys its cache on ``route_fingerprint`` so env
+    toggles reach a fresh trace)."""
+    import jax
+
+    from genfer_tpu.taylor.backend import _conv_dense
+
+    if pair_bits is None:
+        pair_bits = default_pair_bits()
+    if impl is None:
+        impl = default_impl()
+    out_shape = (int(out_shape[0]), int(out_shape[1]))
+    ok = jnp.isfinite(a).all() & jnp.isfinite(b).all()
+    return jax.lax.cond(
+        ok,
+        lambda x, y: ozaki_conv2d_traced(jnp, x, y, out_shape, pair_bits,
+                                         impl),
+        lambda x, y: _conv_dense(jnp, x, y, out_shape),
+        a, b,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _build2d(a0: int, a1: int, b0: int, b1: int, c0: int, c1: int,
-             pair_bits: int):
+             pair_bits: int, impl: str, guard: bool):
     import jax
     import jax.numpy as jnp
 
-    from genfer_tpu.taylor.backend import _antidiag_sum, _toeplitz
-
-    if b0 > MAX_K:
-        raise ValueError(
-            f"ozaki conv contraction length {b0} > {MAX_K}: the f32 "
-            "accumulator would round — route through the blocked driver"
-        )
-
     def conv(a, b):
-        sa = _pow2_colscale(jnp, a)  # [a1]
-        sb = _pow2_colscale(jnp, b)  # [b1]
-        ca = _chunk(jnp, a / sa[None, :])
-        cb = _chunk(jnp, b / sb[None, :])
-        h = jnp.zeros((c0, a1, b1), jnp.float64)
-        for t in range(min(N_CHUNKS, pair_bits + 1)):
-            ta = _toeplitz(jnp, ca[t], c0, b0)  # bf16 [c0, b0, a1]
-            for u in range(min(N_CHUNKS, pair_bits + 1 - t)):
-                d = jnp.einsum(
-                    "kji,jl->kil", ta, cb[u],
-                    preferred_element_type=jnp.float32,
-                )
-                w = 2.0 ** (-CHUNK_BITS * (t + u + 2))
-                h = h + d.astype(jnp.float64) * w
-        h = h * sa[None, :, None] * sb[None, None, :]
-        return _antidiag_sum(jnp, h, c1)
+        if not guard:
+            return ozaki_conv2d_traced(jnp, a, b, (c0, c1), pair_bits, impl)
+        return ozaki_conv2d_guarded(jnp, a, b, (c0, c1), pair_bits, impl)
 
     return jax.jit(conv)
 
 
-def conv2d_ozaki(a, b, out_shape, pair_bits: int = 7):
-    """Truncated 2-D Cauchy product of f64 matrices via exact bf16 MXU
-    chunk passes (see module docstring).  ``pair_bits`` keeps chunk
-    pairs with t+u <= pair_bits: 7 = 36 passes (~1e-16 normwise),
-    6 = 28 passes (~1e-14)."""
+def ozaki_conv2d(a, b, out_shape, pair_bits: int = 7, impl: str = "int8",
+                 guard: bool = True):
+    """Truncated 2-D Cauchy product of f64 matrices via exact integer
+    MXU chunk passes (see module docstring).  ``pair_bits`` keeps chunk
+    pairs with t+u <= pair_bits: 7 = 36 passes (remainder-floor
+    accuracy), 6 = 28 passes (~1e-13 normwise).  ``impl`` selects the
+    MXU pass type ('int8' native on v5e, 'bf16' fallback).  ``guard``
+    adds a device-side all-finite cond that falls back to the XLA f64
+    path for IEEE propagation semantics."""
     from genfer_tpu import enable_x64
 
     enable_x64()
     return _build2d(
         int(a.shape[0]), int(a.shape[1]),
         int(b.shape[0]), int(b.shape[1]),
-        int(out_shape[0]), int(out_shape[1]), int(pair_bits),
+        int(out_shape[0]), int(out_shape[1]),
+        int(pair_bits), impl, bool(guard),
     )(a, b)
+
+
+# ---------------------------------------------------------------------
+# routing
+# ---------------------------------------------------------------------
+#
+# GENFER_OZAKI:           "0" disables the route entirely; "force"
+#                         enables it on any platform (tests run on the
+#                         forced-CPU conftest backend); "1"/unset
+#                         enables it on a TPU default device above the
+#                         measured crossover; a number overrides the
+#                         min-flops crossover (TPU only).
+# GENFER_OZAKI_IMPL:      MXU pass type, "int8" (default) or "bf16".
+# GENFER_OZAKI_PAIR_BITS: kept chunk-pair cutoff P (default 7).
+# GENFER_OZAKI_MIN_FLOPS: crossover override (pair multiply-adds).
+# GENFER_OZAKI_MAX_BYTES: device-buffer estimate cap override.
+#
+# All env vars are read at TRACE time and folded into
+# ``route_fingerprint()``, which backend._conv_jit keys its compile
+# cache on — toggling them between calls reaches a fresh kernel.
+
+#: measured crossover vs the XLA f64 emulation path (see
+#: bench-results.json `ozaki`): below order ~256 the chunk passes'
+#: fixed staging overhead eats the win.  2-var order-256 truncated
+#: ~= 2.2e9 pair flops; require >= that.
+OZAKI_MIN_FLOPS_DEFAULT = 2e9
+#: direct-kernel device-memory estimate cap (bytes): Toeplitz chunk
+#: stacks + int32 diagonal group (x2 transient) + the f64 accumulator.
+#: An order-512 pair estimates ~6.5 GB; order-640 ~13 GB exceeds the
+#: cap and must go through the blocked P-pair driver.
+OZAKI_MAX_BYTES_DEFAULT = 10e9
+OZAKI_MAX_K = MAX_K_INT8
+
+
+def default_impl() -> str:
+    return os.environ.get("GENFER_OZAKI_IMPL", "int8").strip() or "int8"
+
+
+def default_pair_bits() -> int:
+    v = os.environ.get("GENFER_OZAKI_PAIR_BITS", "").strip()
+    return int(v) if v else 7
+
+
+def route_fingerprint():
+    """The env state a traced conv's routing decision depends on; part
+    of backend._conv_jit's compile-cache key."""
+    return tuple(
+        os.environ.get(k, "")
+        for k in (
+            "GENFER_OZAKI", "GENFER_OZAKI_IMPL", "GENFER_OZAKI_PAIR_BITS",
+            "GENFER_OZAKI_MIN_FLOPS", "GENFER_OZAKI_MAX_BYTES",
+        )
+    )
+
+
+def _min_flops() -> float:
+    v = os.environ.get("GENFER_OZAKI_MIN_FLOPS", "").strip()
+    return float(v) if v else OZAKI_MIN_FLOPS_DEFAULT
+
+
+def _max_bytes() -> float:
+    v = os.environ.get("GENFER_OZAKI_MAX_BYTES", "").strip()
+    return float(v) if v else OZAKI_MAX_BYTES_DEFAULT
+
+
+def _platform_is_tpu() -> bool:
+    import jax
+
+    dd = getattr(jax.config, "jax_default_device", None)
+    if dd is not None:
+        plat = dd if isinstance(dd, str) else getattr(dd, "platform", None)
+        return plat == "tpu"
+    return jax.default_backend() == "tpu"
+
+
+def estimate_bytes(a_shape, b_shape, out_shape,
+                   pair_bits: int | None = None,
+                   impl: str | None = None) -> float:
+    """Rough peak-extra-HBM estimate of one direct ozaki conv: the
+    n_t Toeplitz chunk stacks [c0, b0, a1], two transient int32
+    diagonal buffers [c0, a1, b1], and the f64 accumulator."""
+    if pair_bits is None:
+        pair_bits = default_pair_bits()
+    if impl is None:
+        impl = default_impl()
+    c0 = out_shape[0]
+    a1, b0, b1 = a_shape[1], b_shape[0], b_shape[1]
+    n_t = min(N_CHUNKS, pair_bits + 1)
+    elem = 1 if impl == "int8" else 2
+    tas = n_t * c0 * b0 * a1 * elem
+    grp = 2 * c0 * a1 * b1 * 4
+    acc = c0 * a1 * b1 * 8
+    return float(tas + grp + acc)
+
+
+def ozaki_applicable(dtype_name: str, a_shape, b_shape, out_shape,
+                     flops: float) -> bool:
+    """True when the f64 device conv should route through the ozaki MXU
+    kernel: f64 dtype, exactly 2 effective axes (callers pass squeezed
+    shapes), the default device a TPU (or GENFER_OZAKI=force), the
+    direct kernel within its memory cap, and the pair volume above the
+    measured crossover."""
+    mode = os.environ.get("GENFER_OZAKI", "1").strip()
+    if mode == "0" or dtype_name != "float64" or len(out_shape) != 2:
+        return False
+    if mode == "force":
+        thresh = _min_flops()
+    else:
+        if not _platform_is_tpu():
+            return False
+        try:
+            thresh = float(mode) if mode not in ("", "1") else _min_flops()
+        except ValueError:
+            thresh = _min_flops()
+    if b_shape[0] > OZAKI_MAX_K or a_shape[0] > OZAKI_MAX_K:
+        return False
+    if estimate_bytes(a_shape, b_shape, out_shape) > _max_bytes():
+        return False
+    return flops >= thresh

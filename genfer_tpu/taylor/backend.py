@@ -815,9 +815,35 @@ def _onehot_add(jnp, la: int, lb: int, out_len: int, dtype):
     return ((i + j) == k).astype(dtype)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=4096)
+def _conv_pair_flops(a_shape: Shape, b_shape: Shape, out_shape: Shape) -> int:
+    """Truncated-product multiply-add count (the honest work measure:
+    boundary overshoot of a dense kernel is overhead, not delivered
+    work)."""
+    total = 1
+    for s_a, s_b, o in zip(a_shape, b_shape, out_shape):
+        pairs = 0
+        for k in range(o):
+            pairs += max(0, min(k + 1, s_a) - max(0, k + 1 - s_b))
+        total *= max(pairs, 1)
+    return total
+
+
 def _conv_jit(a_shape: Shape, b_shape: Shape, out_shape: Shape):
-    """Build and cache a jitted truncated-conv kernel for fixed shapes."""
+    """Build and cache a jitted truncated-conv kernel for fixed shapes.
+
+    The ozaki-route env fingerprint is part of the cache key: the
+    routing decision is baked into the traced graph, so toggling
+    GENFER_OZAKI* between calls (bench A/B rows, tests) must reach a
+    fresh compile instead of a stale cached kernel."""
+    from ..ops.ozaki_conv import route_fingerprint
+
+    return _conv_jit_impl(a_shape, b_shape, out_shape, route_fingerprint())
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_jit_impl(a_shape: Shape, b_shape: Shape, out_shape: Shape,
+                   _route_key):
     jax, jnp = _jax()
 
     def conv(a, b):
@@ -835,6 +861,11 @@ def _conv_impl(jnp, a, b, out_shape: Shape):
     * 2 axes: Toeplitz matmul along axis 0 followed by a one-hot
       "index addition" contraction along axis 1 (both MXU matmuls),
     * >=3 axes: pairwise vmap over the leading axis + one-hot contraction.
+
+    f64 2-axis products above the measured crossover route through the
+    ozaki error-free-splitting MXU kernel (ops/ozaki_conv.py) when the
+    default device is a TPU: the XLA f64 emulation runs the hot einsum
+    at ~95 GF/s while the exact integer chunk passes ride the MXU.
     """
     eff = _effective_axes(out_shape)
     if not eff:
@@ -843,6 +874,21 @@ def _conv_impl(jnp, a, b, out_shape: Shape):
     a_sq = a.reshape([a.shape[i] for i in eff])
     b_sq = b.reshape([b.shape[i] for i in eff])
     eff_out = tuple(out_shape[i] for i in eff)
+    if (
+        len(eff) == 2
+        and str(a_sq.dtype) == "float64"
+        and str(b_sq.dtype) == "float64"
+    ):
+        from ..ops.ozaki_conv import ozaki_applicable, ozaki_conv2d_guarded
+
+        if ozaki_applicable(
+            "float64", tuple(a_sq.shape), tuple(b_sq.shape), eff_out,
+            _conv_pair_flops(
+                tuple(a_sq.shape), tuple(b_sq.shape), eff_out
+            ),
+        ):
+            res = ozaki_conv2d_guarded(jnp, a_sq, b_sq, eff_out)
+            return res.reshape(out_shape)
     res = _conv_dense(jnp, a_sq, b_sq, eff_out)
     return res.reshape(out_shape)
 
@@ -1826,15 +1872,8 @@ class HybridBackend(NumpyF64Backend):
         self._jnp = __import__("jax.numpy", fromlist=["numpy"])
 
     @staticmethod
-    @functools.lru_cache(maxsize=4096)
     def _conv_flops(a_shape, b_shape, out_shape):
-        total = 1
-        for s_a, s_b, o in zip(a_shape, b_shape, out_shape):
-            pairs = 0
-            for k in range(o):
-                pairs += max(0, min(k + 1, s_a) - max(0, k + 1 - s_b))
-            total *= max(pairs, 1)
-        return total
+        return _conv_pair_flops(a_shape, b_shape, out_shape)
 
     def conv_trunc(self, a, b, out_shape):
         out_shape = _norm_shape(out_shape)
