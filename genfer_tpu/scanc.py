@@ -787,9 +787,16 @@ def _dirac_value_sets(stmts, dvars: set, bound, infinite,
             elif isinstance(s, ast.Sample) and s.var in vals:
                 d = s.distribution
                 if s.add_previous_value:
-                    # `v +~ Bernoulli(v)`: each node x in [0, 1] may
-                    # move to x + 1.0 (same float expression the
-                    # compound kernel's node matcher uses)
+                    # `v +~ Bernoulli(v)`: each node x may move to
+                    # x + 1.0 (same float expression the compound
+                    # kernel's node matcher uses).  NO [0, 1] validity
+                    # filter: the engine computes the FORMAL algebra
+                    # G + (t-1)*dG (weight 1-x goes negative for
+                    # x > 1, total mass preserved) and the kernel
+                    # mirrors it, so the closure must cover the formal
+                    # images too.  Inside a while the absorb loop adds
+                    # one image per unrolled iteration — exactly the
+                    # maximum application count of the exit-split body.
                     if not (isinstance(d, ast.BernoulliVarProb)
                             and d.var == s.var):
                         raise UnsupportedForScan(
@@ -797,7 +804,6 @@ def _dirac_value_sets(stmts, dvars: set, bound, infinite,
                         )
                     vals[s.var] |= {
                         x + 1.0 for x in src_vals(s.var)
-                        if 0.0 <= x <= 1.0
                     }
                 elif s.var in seeds:
                     # fresh density sample on a quadrature-class var:
@@ -839,24 +845,6 @@ def _dirac_value_sets(stmts, dvars: set, bound, infinite,
 
     visit(stmts)
     return vals
-
-
-def _samples_in_whiles(stmts, out: set, in_while: bool = False):
-    """Identity set of every Sample statement that sits (at any depth)
-    inside a While body — such statements apply once per unrolled
-    iteration, which additive compounds on continuous grids cannot
-    support (each application would extend the value support again)."""
-    for s in stmts:
-        if isinstance(s, ast.Sample):
-            if in_while:
-                out.add(id(s))
-        elif isinstance(s, ast.IfThenElse):
-            _samples_in_whiles(s.then, out, in_while)
-            _samples_in_whiles(s.els, out, in_while)
-        elif isinstance(s, ast.While):
-            _samples_in_whiles(s.body, out, True)
-        elif isinstance(s, ast.Normalize):
-            _samples_in_whiles(s.stmts, out, in_while)
 
 
 def _writes_any(block, dvars: set) -> bool:
@@ -939,8 +927,6 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
         samples: dict = {}
         copies: dict = {}
         _collect_samples(program.stmts, samples, copies)
-        in_while: set = set()
-        _samples_in_whiles(program.stmts, in_while)
         # a copy-assigned continuous var aliases its sources' grid:
         # fold the sources' sample statements in (iterate: copies of
         # copies)
@@ -958,6 +944,7 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
             if not changed:
                 break
         dirac_class = []
+        cont_compound = False
         for v in range(nv):
             if not is_cont[v]:
                 continue
@@ -977,11 +964,6 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
                         and d.var == v):
                     raise UnsupportedForScan(
                         "additive sample on a continuous var"
-                    )
-                if id(s) in in_while:
-                    raise UnsupportedForScan(
-                        "additive compound on a continuous var inside "
-                        "a while loop"
                     )
             if len(compounds) > 1:
                 raise UnsupportedForScan(
@@ -1027,16 +1009,20 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
                 xs = us ** inv
                 gw = uw * inv * us ** (inv - 1.0)
             if compounds:
-                # `v +~ Bernoulli(v)`: the value support doubles to
-                # {x, x+1}.  Shifted nodes carry ZERO quadrature weight
-                # — no density can deposit prior mass there; they only
-                # receive mass through the compound kernel (and a later
-                # fresh density sample correctly re-concentrates on the
-                # weighted nodes, since sampling is marginalize+outer)
-                xs = np.concatenate([xs, xs + 1.0])
-                gw = np.concatenate([gw, np.zeros(len(gw))])
+                # `v +~ Bernoulli(v)`: the value support extends to
+                # x + 1 per application — the forward value-set
+                # analysis below computes the closure (one image per
+                # straight-line site, per-unrolled-iteration images
+                # inside while bodies), and the shifted nodes join the
+                # grid with ZERO quadrature weight: no density can
+                # deposit prior mass there; they only receive mass
+                # through the compound kernel (a later fresh density
+                # sample correctly re-concentrates on the weighted
+                # nodes, since sampling is marginalize+outer)
+                cont_compound = True
             cont[v] = _ContGrid(xs, gw)
-        if dirac_class or _affine_writes_any(program.stmts, set(cont)):
+        if (dirac_class or cont_compound
+                or _affine_writes_any(program.stmts, set(cont))):
             for v in dirac_class:
                 comps = [s for s in samples.get(v, [])
                          if s.add_previous_value]
@@ -1046,11 +1032,6 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
                             and d.var == v):
                         raise UnsupportedForScan(
                             "additive sample on a continuous var"
-                        )
-                    if id(s) in in_while:
-                        raise UnsupportedForScan(
-                            "additive compound on a continuous var "
-                            "inside a while loop"
                         )
                 if len(comps) > 1:
                     # the compound kernel zero-rows nodes outside
@@ -1707,10 +1688,18 @@ class _MassCompiler:
         for s in block:
             if isinstance(s, ast.Sample) and s.var in self.cont:
                 if s.add_previous_value:
-                    raise UnsupportedForScan(
-                        "additive compound on a continuous var inside "
-                        "a while loop"
-                    )
+                    d = s.distribution
+                    if not (isinstance(d, ast.BernoulliVarProb)
+                            and d.var == s.var):
+                        raise UnsupportedForScan(
+                            "additive sample on a continuous var"
+                        )
+                    # `v +~ Bernoulli(v)` is fine per-iteration: the
+                    # value-set analysis closed the grid over x -> x+1
+                    # images through the unrolled body (one image per
+                    # iteration; nodes past 1 are invalid Bernoulli
+                    # parameters and zero-rowed by the kernel, the
+                    # engine's graceful zero-mass convention)
             elif isinstance(s, ast.Assign) and s.var in self.cont:
                 if (not self.cont[s.var].values_union
                         and not _is_copy_assign(s)):
@@ -1756,10 +1745,9 @@ class _MassCompiler:
             # value-union grids — Dirac value sets AND quadrature grids
             # extended with their affine image nodes (the may-analysis
             # ran the body `unroll` times, matching the exit-split
-            # count, so the union covers every reachable node).  What
-            # cannot work per-iteration: additive compounds (each
-            # application extends the value support — rejected at grid
-            # build).
+            # count, so the union covers every reachable node), and
+            # `v +~ Bernoulli(v)` compounds (the same analysis closes
+            # the grid over the x -> x+1 images per iteration).
             self._check_while_cont_writes(stmt.body)
         w = self._event_weight(stmt.cond)
         body = self.compile_block(stmt.body)
@@ -1913,18 +1901,23 @@ class _MassCompiler:
                     and isinstance(dist, ast.BernoulliVarProb)
                     and dist.var == v):
                 # v +~ Bernoulli(v) on the extended value grid (the
-                # grid holds both x and x+1; see grid_sizes): node x
-                # keeps mass with 1-x and moves it to node x+1 with x.
-                # Nodes outside [0, 1] are invalid Bernoulli parameters
-                # and can carry no live mass here (a single compound
-                # per var, enforced at grid build) — zero row, matching
-                # the engine's graceful zero-mass convention.
+                # value-set analysis closed the grid over the x -> x+1
+                # images, one per possible application): node x keeps
+                # mass with weight 1-x and moves it to node x+1 with
+                # weight x.  This is the engine's FORMAL algebra
+                # G + (t-1)*dG — for x > 1 the stay-weight 1-x is
+                # negative and total mass is still preserved, matching
+                # gf_transformer's BernoulliVarProb rule exactly (the
+                # earlier zero-row convention silently LOST that mass
+                # and tripped the doubling validation on any prior with
+                # support above 1).  A node whose image is off the grid
+                # can only be reached by more applications than the
+                # closure depth — impossible for the single compound
+                # statement the grid build enforces.
                 xs_nodes = g.xs
                 nn = len(xs_nodes)
                 K = np.zeros((nn, nn))
                 for i, x in enumerate(xs_nodes):
-                    if x < 0.0 or x > 1.0:
-                        continue
                     j = np.where(
                         np.abs(xs_nodes - (x + 1.0))
                         <= 1e-12 * (x + 1.0)

@@ -766,8 +766,15 @@ def _random_while_contwrite_program(rng):
     the last fragment edge: fresh density re-samples (grid-exact
     marginalize+outer), affine writes onto Dirac value grids (absorbed
     by the unrolled value-set may-analysis), fresh Dirac re-samples,
-    and exact copy-assigns from a quadrature grid."""
-    shape = rng.randint(0, 4)
+    exact copy-assigns from a quadrature grid, and (round 5, the final
+    refusal closed) `v +~ Bernoulli(v)` additive compounds per
+    iteration — the value-set analysis closes the grid over the x+1
+    images, one per unrolled body application.  Each compound is
+    preceded by a fresh [0,1]-supported sample so every application is
+    a VALID Bernoulli parameter (applying the compound to mass above 1
+    yields formally negative masses in BOTH engines — the interpreter's
+    own probability assert rejects such programs)."""
+    shape = rng.randint(0, 6)
     p_cond = rng.choice(["1/3", "1/2", "2/5"])
     if shape == 0:  # density resample + observe inside the loop
         rate = rng.choice(["1", "2", "3"])
@@ -811,15 +818,41 @@ def _random_while_contwrite_program(rng):
             "observe 1 ~ Bernoulli(P);\n"
             "return c"
         )
-    # shape 3: copy-assign from a quadrature grid inside the loop
+    if shape == 3:  # copy-assign from a quadrature grid inside the loop
+        return (
+            "X ~ UniformCont(0, 1);\n"
+            "c := 0;\n"
+            f"while 0 ~ Bernoulli({p_cond}) {{\n"
+            "    Y := X;\n"
+            f"    observe {int(rng.randint(0, 2))} ~ Bernoulli(Y);\n"
+            "    c += 1;\n"
+            "}\n"
+            "return c"
+        )
+    if shape == 4:  # additive compound on a quadrature grid per iteration
+        f = rng.choice(["1/2", "1/4", "1/3"])
+        return (
+            "c := 0;\n"
+            f"while 0 ~ Bernoulli({p_cond}) {{\n"
+            "    X ~ UniformCont(0, 1);\n"
+            "    X +~ Bernoulli(X);\n"
+            f"    observe {int(rng.randint(0, 2))} ~ Poisson({f} * X);\n"
+            "    c += 1;\n"
+            "}\n"
+            "return c"
+        )
+    # shape 5: additive compound on a Dirac value grid per iteration
+    f1, f2 = rng.choice(["1/4", "1/2", "2/3", "1/3"], 2, False)
     return (
-        "X ~ UniformCont(0, 1);\n"
+        f"P ~ Dirac({f1});\n"
         "c := 0;\n"
         f"while 0 ~ Bernoulli({p_cond}) {{\n"
-        "    Y := X;\n"
-        f"    observe {int(rng.randint(0, 2))} ~ Bernoulli(Y);\n"
+        f"    P ~ Dirac({f2});\n"
+        "    P +~ Bernoulli(P);\n"
+        f"    observe {int(rng.randint(0, 2))} ~ Poisson(1/2 * P);\n"
         "    c += 1;\n"
         "}\n"
+        f"observe {int(rng.randint(0, 2))} ~ Poisson(1/2 * P);\n"
         "return c"
     )
 
@@ -929,7 +962,7 @@ def test_random_affine_quadrature_vs_interpreter(seed):
             assert abs(got - v) <= 1e-8 * v, (k, got, v, src)
 
 
-@pytest.mark.parametrize("seed", range(10))
+@pytest.mark.parametrize("seed", range(18))
 def test_random_while_contwrite_vs_interpreter(seed):
     """Random while programs writing continuous state in the loop body
     (the closed fragment edge) vs the interpreter: Z lower bound,

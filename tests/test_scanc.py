@@ -998,21 +998,77 @@ def test_while_in_scanned_template_matches_interpreter():
             assert abs(masses[k] - pv) <= 1e-11 * pv, (k, masses[k], pv)
 
 
-def test_while_scan_unsupported_shapes():
-    """The While-body continuous write the compiler must still refuse
-    (fall back to the interpreter) rather than mis-compile: an additive
-    compound (each application would extend the value support again)."""
+def test_while_additive_compound_on_quadrature_grid():
+    """Round-5: the LAST while-body refusal closed — `P +~
+    Bernoulli(P)` per unrolled iteration.  The value-set analysis
+    closes the grid over the x -> x+1 images (one per body
+    application) and the kernel applies the engine's FORMAL algebra
+    G + (t-1)*dG, so even re-applications to shifted mass (Bernoulli
+    parameters above 1, formally negative stay-weights) match the
+    interpreter exactly.  This exact program was the round-4 refusal
+    pin (reference: uniform while handling, semantics/gf.rs:318-334)."""
     from genfer_tpu.lang.parser import parse_program
-    from genfer_tpu.scanc import UnsupportedForScan, compile_scan
+    from genfer_tpu.scanc import compile_scan
 
-    with pytest.raises(UnsupportedForScan):
-        compile_scan(parse_program(
-            "P ~ UniformCont(0, 1/2);\n"
-            "X := 0;\n"
-            "while 0 ~ Bernoulli(1/2) { X += 1; P +~ Bernoulli(P); }\n"
-            "observe 1 ~ Bernoulli(P);\n"
-            "return X"
-        ), order=64)
+    src = (
+        "P ~ UniformCont(0, 1/2);\n"
+        "X := 0;\n"
+        "while 0 ~ Bernoulli(1/2) { X += 1; P +~ Bernoulli(P); }\n"
+        "observe 1 ~ Bernoulli(P);\n"
+        "return X"
+    )
+    masses, Z, obj = compile_scan(parse_program(src), order=64, unroll=8)
+    out = _cli(src, "--limit", "8", "--unroll", "8")
+    z_lo, z_hi = _interp_interval_Z(out)
+    assert abs(Z - z_lo) <= 1e-12 * max(z_lo, 1e-30)
+    # the formal mean DOUBLES per application here, so every unrolled
+    # exit contributes exactly 1/8 and the true Z diverges; the CLI
+    # clamps its upper bound at 1.0 (sound only for valid programs),
+    # so scanc's wider Z + rest must CONTAIN the CLI's interval, not
+    # equal it
+    assert (Z + obj.last_rest) >= z_hi - 1e-12
+    import re
+
+    probs = {
+        int(m.group(1)): float(m.group(2))
+        for m in re.finditer(
+            r"Unnormalized: p\((\d+)\)\s*=\s*([\d.e+-]+)", out
+        )
+    }
+    assert probs, out
+    for k, v in probs.items():
+        got = float(masses[k]) if k < len(masses) else 0.0
+        assert abs(got - v) <= 1e-10 * max(v, 1e-30), (k, got, v)
+
+
+def test_straightline_compound_support_above_one():
+    """A single compound applied to mass with support above 1 (the
+    UniformCont(0, 2) prior): the engine's formal rule preserves total
+    mass ((1-x) + x = 1 even where 1-x < 0), so Z = 1 exactly.  The
+    round-4 zero-row kernel LOST that mass and the doubling validation
+    refused the program; the formal kernel matches the interpreter."""
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import compile_scan
+
+    src = (
+        "X ~ UniformCont(0, 2);\n"
+        "X +~ Bernoulli(X);\n"
+        "Y ~ Poisson(X);\n"
+        "return Y"
+    )
+    masses, Z, obj = compile_scan(parse_program(src), order=64)
+    assert abs(Z - 1.0) <= 1e-12
+    out = _cli(src, "--limit", "8")
+    import re
+
+    probs = {
+        int(m.group(1)): float(m.group(2))
+        for m in re.finditer(r"p\((\d+)\)\s*=\s*([\d.e+-]+)", out)
+    }
+    assert probs, out
+    for k, v in probs.items():
+        if k < len(masses):
+            assert abs(float(masses[k]) - v) <= 1e-10 * max(v, 1e-30), k
 
 
 def test_while_writes_affine_quadrature_grid():
