@@ -3258,7 +3258,29 @@ class ScanCompiled:
         self.last_rest = float(self._rest(logz, rr))
         return masses, float(masses.sum())
 
-    def run_batch(self, batch_cols):
+    def _shard_batch(self, xs, mesh, axis: str):
+        """Place each batched feed with its leading (batch) dimension
+        sharded over ``mesh``'s ``axis``: jit then partitions the
+        vmapped scan per-device (dp data parallelism — XLA inserts no
+        collectives, each device serves its batch slice; results
+        gather on readback)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n = mesh.shape[axis]
+
+        def put(a):
+            if a.shape[0] % n:
+                raise ValueError(
+                    f"batch {a.shape[0]} not divisible by mesh axis "
+                    f"'{axis}' ({n}) — pad the batch"
+                )
+            spec = PartitionSpec(axis, *([None] * (a.ndim - 1)))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+        return tuple(put(a) for a in xs)
+
+    def run_batch(self, batch_cols, mesh=None, batch_axis: str = "dp"):
         """Batched serving: ``batch_cols`` is a list over slots of
         (B, n_steps) arrays; returns (B, result_size) masses and (B,)
         totals through one vmapped dispatch.
@@ -3268,13 +3290,21 @@ class ScanCompiled:
         are built once per distinct tuple and scattered to the (B,
         steps) layout with one fancy-indexing gather — the per-dataset
         Python loop was 75% of steady-state serving time (two_
-        populations2000-class datasets reprepared rows per dataset)."""
+        populations2000-class datasets reprepared rows per dataset).
+
+        ``mesh``: a ``jax.sharding.Mesh`` — shard the batch over its
+        ``batch_axis`` (data-parallel serving across chips; B must be
+        divisible by the axis size).  The reference serves one dataset
+        per process on one core (main.rs:96-143); this is the
+        multi-chip throughput path."""
         import jax.numpy as jnp
 
         if not batch_cols:
             with self._placed():
                 xs = self.prepare_xs([])
                 xs = tuple(jnp.asarray(a)[None] for a in xs)
+                if mesh is not None:
+                    xs = self._shard_batch(xs, mesh, batch_axis)
                 marg, logz, rr = self._run_batch(
                     self._g0, xs, self._consts0
                 )
@@ -3306,6 +3336,8 @@ class ScanCompiled:
                 [np.ones((B, n)), np.zeros((B, cap - n))], axis=1
             )
             xs = tuple(xs_stacked) + (jnp.asarray(valid),)
+            if mesh is not None:
+                xs = self._shard_batch(xs, mesh, batch_axis)
             marg, logz, rr = self._run_batch(self._g0, xs, self._consts0)
         scale = 2.0 ** np.asarray(logz, dtype=np.float64)
         masses = np.asarray(marg, dtype=np.float64) * scale[:, None]

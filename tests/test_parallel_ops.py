@@ -573,3 +573,44 @@ def test_blocked_conv_matches_direct():
     )
     np.testing.assert_allclose(got, ref, rtol=1e-12)
     assert spot_check(a, b, got, 16) < 1e-12
+
+
+def test_scanc_run_batch_dp_sharded():
+    """Scan-compiled serving with the batch dimension sharded over the
+    mesh's dp axis (run_batch(mesh=...)): per-device batch slices,
+    bitwise-class parity with the unsharded dispatch, and a clear error
+    on a non-divisible batch.  The reference serves one dataset per
+    process on one core (main.rs:96-143)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from genfer_tpu.lang.parser import parse_program
+    from genfer_tpu.scanc import compile_scan_program
+
+    n_obs = 6
+    src = "X ~ Poisson(4);\n" + "".join(
+        f"observe {c} ~ Poisson(1/2 * X);\n"
+        for c in [1, 2, 0, 3, 1, 2]
+    ) + "return X"
+    obj, (_, _z) = compile_scan_program(
+        parse_program(src), order=64, max_steps=n_obs, device="cpu"
+    )
+    ndev = len(jax.devices())
+    assert ndev == 8  # conftest provisions the virtual mesh
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    rng = np.random.default_rng(3)
+    B = 2 * ndev
+    bc = rng.integers(0, 5, size=(B, n_obs)).astype(np.float64)
+    m_ref, t_ref = obj.run_batch([bc])
+    m_sh, t_sh = obj.run_batch([bc], mesh=mesh)
+    np.testing.assert_allclose(m_sh, m_ref, rtol=1e-12)
+    np.testing.assert_allclose(t_sh, t_ref, rtol=1e-12)
+    probe = jax.device_put(
+        jnp.asarray(bc), NamedSharding(mesh, PartitionSpec("dp", None))
+    )
+    assert len({s.device for s in probe.addressable_shards}) == ndev
+    with pytest.raises(ValueError, match="not divisible"):
+        obj.run_batch([bc[: ndev + 1]], mesh=mesh)
