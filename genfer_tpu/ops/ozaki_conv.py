@@ -82,7 +82,12 @@ def _pow2_colscale(jnp, x):
 def _chunk(jnp, x, dtype):
     """Error-free split of ``x`` (f64, |x| <= 1/2) into N_CHUNKS arrays
     of integers in [-64, 64] (as ``dtype``):
-    x = sum_t chunks[t] * 2^{-7(t+1)} + R, |R| <= 2^-57."""
+    x = sum_t chunks[t] * 2^{-7(t+1)} + R, |R| <= 2^-57.
+
+    The float formulation (round/divide/subtract per chunk) is exact
+    under IEEE f64 but NOT under the TPU's emulated f64 (measured: the
+    chain degrades the @512 conv to ~1e-11); ``_chunk_int`` below does
+    the same split in the integer domain with one conversion."""
     chunks = []
     r = x
     for t in range(N_CHUNKS):
@@ -91,6 +96,38 @@ def _chunk(jnp, x, dtype):
         chunks.append(c.astype(dtype))
         r = r - c / s
     return chunks
+
+
+def _chunk_int(jnp, x, dtype):
+    """Integer-domain error-free split (device-robust variant): one
+    f64 -> int64 conversion of ``x * 2^56`` (exact scaling by a power
+    of two; |x| <= 1/2 keeps it under 2^55), then pure int64
+    bit-slicing into 8 round-to-nearest 7-bit signed chunks.  Every
+    post-conversion op is integer (exact on the TPU's int32-pair int64
+    emulation), so the split cannot degrade with the quality of the
+    device's f64 emulation the way the round/divide/subtract chain of
+    ``_chunk`` does.  x = sum_t chunks[t] * 2^{-7(t+1)} + R with
+    |R| <= 2^-56 (the conversion rounds to the nearest integer tick)."""
+    y = x * float(2.0 ** (CHUNK_BITS * N_CHUNKS))
+    i = jnp.round(y).astype(jnp.int64)
+    chunks = []
+    for t in range(N_CHUNKS):
+        shift = CHUNK_BITS * (N_CHUNKS - 1 - t)
+        if shift:
+            half = jnp.int64(1 << (shift - 1))
+            c = (i + half) >> shift
+        else:
+            c = i
+        chunks.append(c.astype(dtype))
+        i = i - (c.astype(jnp.int64) << shift)
+    return chunks
+
+
+def _chunk_impl():
+    """Chunking pipeline selector (GENFER_OZAKI_CHUNK): 'int' (default,
+    device-robust integer split) or 'float' (the IEEE-exact chain —
+    correct on hosts, degraded on emulated-f64 devices)."""
+    return os.environ.get("GENFER_OZAKI_CHUNK", "int").strip() or "int"
 
 
 def ozaki_conv2d_traced(jnp, a, b, out_shape, pair_bits: int = 7,
@@ -115,10 +152,11 @@ def ozaki_conv2d_traced(jnp, a, b, out_shape, pair_bits: int = 7,
     else:
         in_dtype, acc_dtype = jnp.bfloat16, jnp.float32
 
+    chunk = _chunk_int if _chunk_impl() == "int" else _chunk
     sa = _pow2_colscale(jnp, a)  # [a1]
     sb = _pow2_colscale(jnp, b)  # [b1]
-    ca = _chunk(jnp, a / sa[None, :], in_dtype)
-    cb = _chunk(jnp, b / sb[None, :], in_dtype)
+    ca = chunk(jnp, a / sa[None, :], in_dtype)
+    cb = chunk(jnp, b / sb[None, :], in_dtype)
     n_t = min(N_CHUNKS, pair_bits + 1)
     tas = [_toeplitz(jnp, ca[t], c0, b0) for t in range(n_t)]
 
@@ -173,7 +211,7 @@ def ozaki_conv2d_guarded(jnp, a, b, out_shape, pair_bits: int | None = None,
 
 @functools.lru_cache(maxsize=None)
 def _build2d(a0: int, a1: int, b0: int, b1: int, c0: int, c1: int,
-             pair_bits: int, impl: str, guard: bool):
+             pair_bits: int, impl: str, guard: bool, _chunk_key: str):
     import jax
     import jax.numpy as jnp
 
@@ -201,7 +239,7 @@ def ozaki_conv2d(a, b, out_shape, pair_bits: int = 7, impl: str = "int8",
         int(a.shape[0]), int(a.shape[1]),
         int(b.shape[0]), int(b.shape[1]),
         int(out_shape[0]), int(out_shape[1]),
-        int(pair_bits), impl, bool(guard),
+        int(pair_bits), impl, bool(guard), _chunk_impl(),
     )(a, b)
 
 
@@ -254,6 +292,7 @@ def route_fingerprint():
         for k in (
             "GENFER_OZAKI", "GENFER_OZAKI_IMPL", "GENFER_OZAKI_PAIR_BITS",
             "GENFER_OZAKI_MIN_FLOPS", "GENFER_OZAKI_MAX_BYTES",
+            "GENFER_OZAKI_CHUNK",
         )
     )
 
