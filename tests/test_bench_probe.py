@@ -103,3 +103,21 @@ def test_immediate_success_single_attempt(monkeypatch):
     got = bench._probe_device(timeout_s=60.0, window_s=600.0, sleep_s=1.0)
     assert got == "tpu"
     assert state["n"] == 1
+
+
+def test_bench_ozaki_section_smoke(monkeypatch):
+    """bench_ozaki must produce complete rows on the CPU backend at a
+    tiny order: ms/gflops/spot_rel_err per variant, no FAILED strings
+    (the artifact section the --ozaki flag writes)."""
+    monkeypatch.setenv("GENFER_OZAKI_MIN_FLOPS", "0")
+    rows = bench.bench_ozaki(orders=(48,), iters=2)
+    assert set(rows) == {48}
+    row = rows[48]
+    assert set(row) == {
+        "xla_f64_emulation", "ozaki_int8_pb7", "ozaki_int8_pb6",
+        "ozaki_bf16_pb7",
+    }
+    for name, r in row.items():
+        assert isinstance(r, dict), (name, r)
+        assert r["spot_rel_err"] < 1e-11, (name, r)
+        assert r["ms"] > 0
