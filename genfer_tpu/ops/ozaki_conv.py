@@ -18,7 +18,8 @@ SAME contraction through the MXU with every pass bit-exact:
   accumulator (native on v5e, 2x bf16 throughput): products of the
   +-64 chunks are <= 2^12 and int32 addition is exact, so the pass
   returns the EXACT integer dot for contraction lengths up to 2^19
-  (the bf16/f32 fallback impl is exact up to length 4096 per pass);
+  (the bf16/f32 fallback impl is exact only to length 512 once the
+  8-pass diagonal groups are folded into the f32 accumulator);
 * accumulate the passes of equal total weight t+u = s into ONE integer
   buffer per diagonal (int32 adds of values <= 8 * 2^12 * k stay exact
   for k <= 2^16), so the f64 combine reads pair_bits+1 group buffers
@@ -34,9 +35,9 @@ error is NORMWISE per output entry (k, l): relative to
 f64 summation delivers on well-scaled operands.  Entries more than
 ~2^-50 BELOW their column-scale product lose relative accuracy — the
 measured componentwise cliff on Poisson-tail corpus columns is pinned
-in tests/test_ozaki_conv.py, and extreme column scales (outside
-2^+-900) clamp, mirroring where the device's own f64 emulation flushes
-(CLAUDE.md range-cliff measurements).
+in tests/test_ozaki_conv.py.  Column scales anywhere in the f64 range
+are handled natively via exponent-sum undo (see _pow2_colexp); only
+non-finite coefficients divert to the dense branch.
 
 Cost model: 36 int8 MXU passes + 8 group-to-f64 combines vs the ~50x
 slower f64 software emulation of one einsum.  Measured numbers live in
@@ -60,23 +61,31 @@ import os
 CHUNK_BITS = 7
 N_CHUNKS = 8  # 8 * 7 = 56 bits >= the 53-bit f64 mantissa
 MAX_K_INT8 = 1 << 16
-#: f32 accumulates 2^12-bounded products exactly up to length 4096;
-#: folding 8 passes per diagonal group in f32 is exact up to 512
-MAX_K_BF16 = 4096
-#: column scales are clamped to 2^+-MAX_SCALE_EXP: beyond that the
-#: device's own f64 emulation flushes products anyway (CLAUDE.md)
-MAX_SCALE_EXP = 900.0
+#: the bf16 impl folds up to 8 passes per diagonal group in the f32
+#: accumulator: partial sums reach 8 * 2^12 * k, which stays under the
+#: exact-integer 2^24 ceiling only for k <= 512 (measured: k = 2048
+#: degrades to 7.5e-12 where int8 keeps 1.1e-13)
+MAX_K_BF16 = 512
 
 
-def _pow2_colscale(jnp, x):
-    """Per-column power-of-two scale 2^(ceil(log2 max|col|) + 1), so
-    scaled entries lie in [-1/2, 1/2] (1.0 for all-zero columns).
-    exp2/floor(log2) are exact on the TPU's f64 emulation (measured;
-    CLAUDE.md numeric policy) and dividing by a power of two is exact."""
+def _pow2_colexp(jnp, x):
+    """Per-column power-of-two scale EXPONENT ceil(log2 max|col|) + 1,
+    so x * exp2(-e) lies in [-1/2, 1/2] (e = 0 for all-zero columns).
+    exp2/ceil(log2) are exact on the TPU's f64 emulation (measured;
+    CLAUDE.md numeric policy) and scaling by a power of two is exact.
+
+    Exponents (not scales) are returned so the output-side undo can
+    apply exp2(ea + eb) in ONE step: applying sa then sb sequentially
+    would spuriously under/overflow whenever the individual scales sit
+    near the f64 range limits but their product does not (e.g. a
+    2^-980-scale column times a 2^300-scale column).  No clamping:
+    exp2(-e) for e in [-1075, 1025] is exactly representable (possibly
+    subnormal — still an exact power of two), so the whole f64 range
+    is handled natively; products whose combined exponent underflows
+    the f64 range flush to zero exactly where the dense f64 path's own
+    products would."""
     m = jnp.max(jnp.abs(x), axis=0)
-    e = jnp.ceil(jnp.log2(jnp.where(m > 0.0, m, 1.0))) + 1.0
-    e = jnp.clip(e, -MAX_SCALE_EXP, MAX_SCALE_EXP)
-    return jnp.exp2(e)
+    return jnp.ceil(jnp.log2(jnp.where(m > 0.0, m, 1.0))) + 1.0
 
 
 def _chunk(jnp, x, dtype):
@@ -153,10 +162,10 @@ def ozaki_conv2d_traced(jnp, a, b, out_shape, pair_bits: int = 7,
         in_dtype, acc_dtype = jnp.bfloat16, jnp.float32
 
     chunk = _chunk_int if _chunk_impl() == "int" else _chunk
-    sa = _pow2_colscale(jnp, a)  # [a1]
-    sb = _pow2_colscale(jnp, b)  # [b1]
-    ca = chunk(jnp, a / sa[None, :], in_dtype)
-    cb = chunk(jnp, b / sb[None, :], in_dtype)
+    ea = _pow2_colexp(jnp, a)  # [a1]
+    eb = _pow2_colexp(jnp, b)  # [b1]
+    ca = chunk(jnp, a * jnp.exp2(-ea)[None, :], in_dtype)
+    cb = chunk(jnp, b * jnp.exp2(-eb)[None, :], in_dtype)
     n_t = min(N_CHUNKS, pair_bits + 1)
     tas = [_toeplitz(jnp, ca[t], c0, b0) for t in range(n_t)]
 
@@ -176,7 +185,8 @@ def ozaki_conv2d_traced(jnp, a, b, out_shape, pair_bits: int = 7,
             g = d if g is None else g + d
         w = 2.0 ** (-CHUNK_BITS * (s + 2))
         h = h + g.astype(jnp.float64) * w
-    h = h * sa[None, :, None] * sb[None, None, :]
+    # single-step undo via the exponent SUM (see _pow2_colexp)
+    h = h * jnp.exp2(ea[None, :, None] + eb[None, None, :])
     return _antidiag_sum(jnp, h, c1)
 
 
@@ -199,6 +209,9 @@ def ozaki_conv2d_guarded(jnp, a, b, out_shape, pair_bits: int | None = None,
     if impl is None:
         impl = default_impl()
     out_shape = (int(out_shape[0]), int(out_shape[1]))
+    # non-finite coefficients keep IEEE propagation semantics on the
+    # dense f64 branch; finite operands of ANY magnitude are handled
+    # by the exponent-sum scaling (see _pow2_colexp)
     ok = jnp.isfinite(a).all() & jnp.isfinite(b).all()
     return jax.lax.cond(
         ok,
@@ -356,7 +369,8 @@ def ozaki_applicable(dtype_name: str, a_shape, b_shape, out_shape,
             thresh = float(mode) if mode not in ("", "1") else _min_flops()
         except ValueError:
             thresh = _min_flops()
-    if b_shape[0] > OZAKI_MAX_K or a_shape[0] > OZAKI_MAX_K:
+    max_k = MAX_K_INT8 if default_impl() == "int8" else MAX_K_BF16
+    if b_shape[0] > max_k or a_shape[0] > max_k:
         return False
     if estimate_bytes(a_shape, b_shape, out_shape) > _max_bytes():
         return False

@@ -1034,10 +1034,11 @@ def grid_sizes(program: ast.Program, order: int, unroll: int = 8):
                             "additive sample on a continuous var"
                         )
                 if len(comps) > 1:
-                    # the compound kernel zero-rows nodes outside
-                    # [0, 1]; after one compound, live mass can sit at
-                    # x + 1 > 1, so a second application would silently
-                    # drop it (quadrature grids have the same limit)
+                    # the value-set closure bounds its depth assuming
+                    # ONE compound site (images per unrolled iteration
+                    # of that site); a second statement would need a
+                    # per-site product closure nothing computes
+                    # (quadrature grids have the same limit)
                     raise UnsupportedForScan(
                         "multiple additive compounds on one continuous "
                         "var"
@@ -1697,9 +1698,9 @@ class _MassCompiler:
                     # `v +~ Bernoulli(v)` is fine per-iteration: the
                     # value-set analysis closed the grid over x -> x+1
                     # images through the unrolled body (one image per
-                    # iteration; nodes past 1 are invalid Bernoulli
-                    # parameters and zero-rowed by the kernel, the
-                    # engine's graceful zero-mass convention)
+                    # iteration), and the kernel applies the engine's
+                    # FORMAL algebra at every node — stay-weight 1-x
+                    # even where that is negative (see _sample_op)
             elif isinstance(s, ast.Assign) and s.var in self.cont:
                 if (not self.cont[s.var].values_union
                         and not _is_copy_assign(s)):
@@ -3300,11 +3301,11 @@ class ScanCompiled:
         import jax.numpy as jnp
 
         if not batch_cols:
+            # slot-less program: a single pseudo-batch of one — nothing
+            # to shard, so the mesh request is a no-op here
             with self._placed():
                 xs = self.prepare_xs([])
                 xs = tuple(jnp.asarray(a)[None] for a in xs)
-                if mesh is not None:
-                    xs = self._shard_batch(xs, mesh, batch_axis)
                 marg, logz, rr = self._run_batch(
                     self._g0, xs, self._consts0
                 )

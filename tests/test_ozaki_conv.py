@@ -225,12 +225,16 @@ class TestRouting:
         from genfer_tpu.taylor.backend import _conv_jit
 
         monkeypatch.setenv("GENFER_OZAKI", "0")
+        fp_off = route_fingerprint()
         f_off = _conv_jit((48, 48), (48, 48), (95, 95))
         monkeypatch.setenv("GENFER_OZAKI", "force")
         monkeypatch.setenv("GENFER_OZAKI_MIN_FLOPS", "0")
+        fp_on = route_fingerprint()
         f_on = _conv_jit((48, 48), (48, 48), (95, 95))
         assert f_off is not f_on
-        assert route_fingerprint() != ("0", "", "", "0", "")
+        assert fp_off != fp_on
+        # same env again must hit the cache
+        assert _conv_jit((48, 48), (48, 48), (95, 95)) is f_on
 
     def test_routed_end_to_end_backend(self, monkeypatch):
         """JaxF64Backend.conv_trunc with the route forced must stay
@@ -266,3 +270,55 @@ class TestRouting:
         )
         want = HOST.conv_trunc(a, b, out)
         assert _rel_err(got, want) < 5e-14
+
+
+def test_extreme_column_scales_handled_natively():
+    """Column scales anywhere in the f64 range go through the kernel
+    (review finding: the old 2^±900 clamp overflowed the int64 chunk
+    conversion on the large side — silently wrong sign/magnitude — and
+    zeroed everything below 2^-956 on the small side).  The
+    exponent-sum undo also covers the mixed case where the individual
+    scales sit near the range limits but their product does not."""
+    b = np.ones((16, 2))
+    for mag in (2.0 ** 950, 2.0 ** -980, 1.0):
+        a = np.full((16, 2), mag)
+        got = np.asarray(
+            ozaki_conv2d(jnp.asarray(a), jnp.asarray(b), (16, 3))
+        )
+        want = np.asarray(HOST.conv_trunc(a, b, (16, 3)))
+        np.testing.assert_allclose(got, want, rtol=1e-12, err_msg=str(mag))
+    # mixed: 2^-980 columns against 2^300 columns — sequential scale
+    # application would underflow; the exponent sum must not
+    a = np.full((16, 2), 2.0 ** -980)
+    b2 = np.full((16, 2), 2.0 ** 300)
+    got = np.asarray(ozaki_conv2d(jnp.asarray(a), jnp.asarray(b2), (16, 3)))
+    want = np.asarray(HOST.conv_trunc(a, b2, (16, 3)))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_bf16_group_fold_contraction_cap():
+    """MAX_K_BF16 must stay at 512: the f32 diagonal-group fold's
+    partial sums reach 8 * 2^12 * k, exact only to 2^24 (review
+    finding: the old 4096 cap admitted 7.5e-12-class rounding).  Also
+    pins that ozaki_applicable respects the impl-specific cap."""
+    from genfer_tpu.ops.ozaki_conv import MAX_K_BF16
+
+    assert MAX_K_BF16 == 512
+    import os
+
+    os.environ["GENFER_OZAKI"] = "force"
+    os.environ["GENFER_OZAKI_MIN_FLOPS"] = "0"
+    os.environ["GENFER_OZAKI_MAX_BYTES"] = "1e18"
+    try:
+        os.environ["GENFER_OZAKI_IMPL"] = "bf16"
+        assert not ozaki_applicable(
+            "float64", (4096, 2), (4096, 2), (4096, 3), 1e12
+        )
+        os.environ["GENFER_OZAKI_IMPL"] = "int8"
+        assert ozaki_applicable(
+            "float64", (4096, 2), (4096, 2), (4096, 3), 1e12
+        )
+    finally:
+        for k in ("GENFER_OZAKI", "GENFER_OZAKI_MIN_FLOPS",
+                  "GENFER_OZAKI_MAX_BYTES", "GENFER_OZAKI_IMPL"):
+            os.environ.pop(k, None)
