@@ -1427,12 +1427,14 @@ def main():
         json.dumps(
             {
                 "metric": f"taylor-conv GFLOP/s @order {args.order} "
-                f"({args.ndim}-var, f64 1e-14-accurate; baseline = native "
-                f"C++ host kernel; this path is XLA-f64-emulation-bound "
-                f"— ~95 GF/s is its measured ceiling, see "
-                f"docs/extended_precision.md; opt-in pallas f32 mode is "
-                f"12-60x further, and the production CLI default is the "
-                f"host native path, see bench-results.json suite rows)"
+                f"({args.ndim}-var, f64-class accuracy; baseline = native "
+                f"C++ host kernel; on TPU the 2-axis f64 conv routes "
+                f"through the ozaki integer-split MXU kernel above the "
+                f"crossover — measured accuracy + A/B vs the ~95 GF/s "
+                f"pure-emulation path in bench-results.json `ozaki`, "
+                f"design in docs/extended_precision.md; opt-in pallas "
+                f"f32 mode is further still at ~1e-6, and the production "
+                f"CLI default is the host native path, see suite rows)"
                 + ("" if device != "cpu-fallback" else
                    f" [CPU FALLBACK: {_probe_detail}]"),
                 "value": round(gflops, 3),
