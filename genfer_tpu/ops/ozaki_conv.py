@@ -139,6 +139,14 @@ def _chunk_impl():
     return os.environ.get("GENFER_OZAKI_CHUNK", "int").strip() or "int"
 
 
+def _stack_impl() -> bool:
+    """Diagonal-stacked einsum layout selector (GENFER_OZAKI_STACK,
+    default on): pair_bits+1 large contractions instead of 36 small
+    ones.  Identical results up to int32/f32 accumulation order (both
+    exact within the caps)."""
+    return os.environ.get("GENFER_OZAKI_STACK", "1").strip() != "0"
+
+
 def ozaki_conv2d_traced(jnp, a, b, out_shape, pair_bits: int = 7,
                         impl: str = "int8"):
     """Traceable body: the truncated 2-D Cauchy product of f64 ``a``
@@ -167,24 +175,51 @@ def ozaki_conv2d_traced(jnp, a, b, out_shape, pair_bits: int = 7,
     ca = chunk(jnp, a * jnp.exp2(-ea)[None, :], in_dtype)
     cb = chunk(jnp, b * jnp.exp2(-eb)[None, :], in_dtype)
     n_t = min(N_CHUNKS, pair_bits + 1)
-    tas = [_toeplitz(jnp, ca[t], c0, b0) for t in range(n_t)]
 
     # one integer accumulator per diagonal s = t + u: every add is
-    # exact (int32 always; f32 because 8 * 2^12 * k <= 2^24 for the
-    # fallback impl's k cap), so only pair_bits+1 buffers reach the
-    # HBM-bound f64 combine
+    # exact (int32 up to the contraction caps; f32 because
+    # 8 * 2^12 * k <= 2^24 for the fallback impl's k cap), so only
+    # pair_bits+1 buffers reach the HBM-bound f64 combine
     h = jnp.zeros((c0, a1, b1), jnp.float64)
-    for s in range(min(2 * N_CHUNKS - 1, pair_bits + 1)):
-        g = None
-        for t in range(max(0, s - N_CHUNKS + 1), min(s + 1, n_t)):
-            u = s - t
-            d = jnp.einsum(
-                "kji,jl->kil", tas[t], cb[u],
+    n_s = min(2 * N_CHUNKS - 1, pair_bits + 1)
+    if _stack_impl():
+        # diagonal-stacked layout (GENFER_OZAKI_STACK): all chunk
+        # Toeplitz stacks concatenated along the contraction axis
+        # once; each diagonal's pairs (a contiguous t-range) become
+        # ONE einsum against the matching stacked cb rows —
+        # pair_bits+1 well-shaped MXU contractions instead of 36
+        # smaller ones, identical MACs, the per-diagonal group adds
+        # folded into the contraction (still exact: per-entry sums
+        # <= 2^12 * 8 * k)
+        ta_all = jnp.concatenate(
+            [_toeplitz(jnp, ca[t], c0, b0) for t in range(n_t)], axis=1
+        )  # [c0, n_t*b0, a1]
+        for s in range(n_s):
+            t0 = max(0, s - N_CHUNKS + 1)
+            t1 = min(s + 1, n_t)
+            cb_stack = jnp.concatenate(
+                [cb[s - t] for t in range(t0, t1)]
+            )  # [(t1-t0)*b0, b1]
+            g = jnp.einsum(
+                "kji,jl->kil",
+                ta_all[:, t0 * b0 : t1 * b0, :], cb_stack,
                 preferred_element_type=acc_dtype,
             )
-            g = d if g is None else g + d
-        w = 2.0 ** (-CHUNK_BITS * (s + 2))
-        h = h + g.astype(jnp.float64) * w
+            w = 2.0 ** (-CHUNK_BITS * (s + 2))
+            h = h + g.astype(jnp.float64) * w
+    else:
+        tas = [_toeplitz(jnp, ca[t], c0, b0) for t in range(n_t)]
+        for s in range(n_s):
+            g = None
+            for t in range(max(0, s - N_CHUNKS + 1), min(s + 1, n_t)):
+                u = s - t
+                d = jnp.einsum(
+                    "kji,jl->kil", tas[t], cb[u],
+                    preferred_element_type=acc_dtype,
+                )
+                g = d if g is None else g + d
+            w = 2.0 ** (-CHUNK_BITS * (s + 2))
+            h = h + g.astype(jnp.float64) * w
     # single-step undo via the exponent SUM (see _pow2_colexp)
     h = h * jnp.exp2(ea[None, :, None] + eb[None, None, :])
     return _antidiag_sum(jnp, h, c1)
@@ -224,7 +259,7 @@ def ozaki_conv2d_guarded(jnp, a, b, out_shape, pair_bits: int | None = None,
 
 @functools.lru_cache(maxsize=None)
 def _build2d(a0: int, a1: int, b0: int, b1: int, c0: int, c1: int,
-             pair_bits: int, impl: str, guard: bool, _chunk_key: str):
+             pair_bits: int, impl: str, guard: bool, _variant_key):
     import jax
     import jax.numpy as jnp
 
@@ -252,7 +287,7 @@ def ozaki_conv2d(a, b, out_shape, pair_bits: int = 7, impl: str = "int8",
         int(a.shape[0]), int(a.shape[1]),
         int(b.shape[0]), int(b.shape[1]),
         int(out_shape[0]), int(out_shape[1]),
-        int(pair_bits), impl, bool(guard), _chunk_impl(),
+        int(pair_bits), impl, bool(guard), (_chunk_impl(), _stack_impl()),
     )(a, b)
 
 
@@ -305,7 +340,7 @@ def route_fingerprint():
         for k in (
             "GENFER_OZAKI", "GENFER_OZAKI_IMPL", "GENFER_OZAKI_PAIR_BITS",
             "GENFER_OZAKI_MIN_FLOPS", "GENFER_OZAKI_MAX_BYTES",
-            "GENFER_OZAKI_CHUNK",
+            "GENFER_OZAKI_CHUNK", "GENFER_OZAKI_STACK",
         )
     )
 
