@@ -25,12 +25,14 @@ import time
 import numpy as np
 
 
-def main(orders=(256, 512), iters=6, smoke=False):
+def main(orders=(512, 256), iters=6, smoke=False):
     import jax
 
     if smoke:  # plumbing check on a dead tunnel: force the CPU backend
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+
+    print(f"backend={jax.default_backend()}", file=sys.stderr, flush=True)
 
     jax.config.update("jax_enable_x64", True)
     sys.path.insert(0, ".")
@@ -92,15 +94,20 @@ def main(orders=(256, 512), iters=6, smoke=False):
             print(f"diag {order} {name}: {row[name]}", file=sys.stderr,
                   flush=True)
         results[order] = row
-    results["pallas_floor"] = pallas_floor_decomposition(
-        orders=(32,) if smoke else (256, 512),
-        iters=2 if smoke else 8, interpret=smoke,
-    )
-    results["fullblock_ab"] = fullblock_kernel_ab(
-        order=16 if smoke else 512, iters=2 if smoke else 6,
-        interpret=smoke,
-    )
-    print(json.dumps(results, indent=2))
+    for key, fn in (
+        ("pallas_floor", lambda: pallas_floor_decomposition(
+            orders=(32,) if smoke else (256, 512),
+            iters=2 if smoke else 8, interpret=smoke)),
+        ("fullblock_ab", lambda: fullblock_kernel_ab(
+            order=16 if smoke else 512, iters=2 if smoke else 6,
+            interpret=smoke)),
+    ):
+        try:
+            results[key] = fn()
+        except Exception as e:  # a mid-run tunnel death keeps the rows so far
+            results[key] = f"FAILED {type(e).__name__}: {e}"
+            print(f"{key}: {results[key]}", file=sys.stderr, flush=True)
+    print(json.dumps(results, indent=2), flush=True)
 
 
 def fullblock_kernel_ab(order=512, iters=6, interpret=False):
@@ -195,5 +202,5 @@ def pallas_floor_decomposition(orders=(256, 512), iters=8,
 
 if __name__ == "__main__":
     smoke = "--smoke" in sys.argv
-    main(orders=(16, 24) if smoke else (256, 512),
+    main(orders=(16, 24) if smoke else (512, 256),
          iters=2 if smoke else 6, smoke=smoke)
