@@ -624,14 +624,15 @@ def bench_highorder(orders=(1024, 2048)):
             ),
             (
                 # the pure-emulation row: with the ozaki route wired
-                # into _conv_impl it must be pinned OFF or this would
-                # silently re-measure the ozaki path
+                # into _conv_impl (and the staircase defaulting on for
+                # TPU f64) both must be pinned OFF or this would
+                # silently re-measure the new paths
                 "xla_f64", 256,
                 lambda x, y: be.conv_trunc(
                     x, y, (2 * 256 - 1, 2 * 256 - 1)
                 ),
                 25,
-                {"GENFER_OZAKI": "0"},
+                {"GENFER_OZAKI": "0", "GENFER_CONV_BLOCK": "off"},
             ),
             (
                 "ozaki_f64", 512,
@@ -691,9 +692,16 @@ def bench_ozaki(orders=(256, 384, 512), iters=6):
     from genfer_tpu.taylor.backend import _conv_impl
 
     variants = [
-        ("xla_f64_emulation", {"GENFER_OZAKI": "0"}),
+        # the pure-emulation baseline must pin BOTH escape hatches off:
+        # the staircase (GENFER_CONV_BLOCK) defaults on for TPU f64
+        ("xla_f64_emulation", {"GENFER_OZAKI": "0",
+                               "GENFER_CONV_BLOCK": "off"}),
+        ("xla_f64_staircase", {"GENFER_OZAKI": "0"}),
         ("ozaki_int8_pb7", {"GENFER_OZAKI_IMPL": "int8",
                             "GENFER_OZAKI_PAIR_BITS": "7"}),
+        ("ozaki_int8_pb7_nocb", {"GENFER_OZAKI_IMPL": "int8",
+                                 "GENFER_OZAKI_PAIR_BITS": "7",
+                                 "GENFER_OZAKI_COLBLOCK": "0"}),
         ("ozaki_int8_pb6", {"GENFER_OZAKI_IMPL": "int8",
                             "GENFER_OZAKI_PAIR_BITS": "6"}),
         ("ozaki_bf16_pb7", {"GENFER_OZAKI_IMPL": "bf16",

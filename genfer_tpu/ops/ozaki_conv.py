@@ -42,6 +42,16 @@ non-finite coefficients divert to the dense branch.
 Cost model: 36 int8 MXU passes + 8 group-to-f64 combines vs the ~50x
 slower f64 software emulation of one einsum.  Measured numbers live in
 bench-results.json (``ozaki`` section) — bench.py --ozaki writes them.
+Measured v5e 2026-08-21 (scripts/ozaki_diag.py + bench --ozaki), square
+truncated shapes, spot-checked vs host-exact f64 dots:
+
+    @512: emulation 364.7 ms (94.6 GF/s) -> ozaki stacked 150.0 ms
+          (230 GF/s) -> + column staircase (_colblock, default 128)
+          112.5 ms = 306.6 GF/s useful, spot err 4-6e-15
+    @256: 44.0 -> 18.0 -> 14.4 ms (150.1 GF/s), 4-6e-15
+    the int-domain chunk split (_chunk_int) is what holds device
+    accuracy: the float round/div/sub chain measures 9.9e-12 @512 on
+    the TPU's emulated f64, int bit-slicing 4.3e-15.
 
 Reference spec being beaten: the f64 multivariate product of
 /root/reference/src/multivariate_taylor.rs:984-1012 (host Rust; the
@@ -147,6 +157,23 @@ def _stack_impl() -> bool:
     return os.environ.get("GENFER_OZAKI_STACK", "1").strip() != "0"
 
 
+def _colblock() -> int:
+    """Column-staircase width (GENFER_OZAKI_COLBLOCK, stacked layout
+    only): block the a1 axis so each block contracts only the b columns
+    l < c1 - p1 that survive output truncation — at square truncated
+    order-512 shapes the full rectangle issues ~1.6x the useful chunk-
+    pass MACs AND ~1.6x the HBM-bound f64 combine volume.  Measured
+    v5e (scripts/ozaki_diag.py, 2026-08-21): width 128 takes the @512
+    truncated conv 150.3 -> 112.5 ms (306.6 GF/s useful) and @256
+    18.0 -> 14.4 ms, spot err 4-6e-15 unchanged; width 256 is mid
+    (129.1 ms).  Default 128; "0" disables.  Dropped slices feed only
+    truncated-away output columns, so the int32 passes are bit-exactly
+    the same contributions; only the f64 antidiag addition order
+    changes."""
+    v = os.environ.get("GENFER_OZAKI_COLBLOCK", "").strip()
+    return int(v) if v else 128
+
+
 def ozaki_conv2d_traced(jnp, a, b, out_shape, pair_bits: int = 7,
                         impl: str = "int8"):
     """Traceable body: the truncated 2-D Cauchy product of f64 ``a``
@@ -180,8 +207,45 @@ def ozaki_conv2d_traced(jnp, a, b, out_shape, pair_bits: int = 7,
     # exact (int32 up to the contraction caps; f32 because
     # 8 * 2^12 * k <= 2^24 for the fallback impl's k cap), so only
     # pair_bits+1 buffers reach the HBM-bound f64 combine
-    h = jnp.zeros((c0, a1, b1), jnp.float64)
     n_s = min(2 * N_CHUNKS - 1, pair_bits + 1)
+    cb_w = _colblock()
+    # engage only under REAL axis-1 truncation: on a full conv
+    # (c1 = a1 + b1 - 1) every block keeps all b columns, so the split
+    # is pure dispatch overhead
+    if (_stack_impl() and cb_w and min(a1, c1) > cb_w
+            and c1 < a1 + b1 - 1):
+        # column-staircase (see _colblock): per a1 block, contract only
+        # the surviving b columns and combine into the output slice
+        ta_all = jnp.concatenate(
+            [_toeplitz(jnp, ca[t], c0, b0) for t in range(n_t)], axis=1
+        )  # [c0, n_t*b0, a1]
+        out = jnp.zeros((c0, c1), jnp.float64)
+        for p1 in range(0, min(a1, c1), cb_w):
+            q1 = min(a1, p1 + cb_w, c1)
+            ln = min(b1, c1 - p1)
+            hp = jnp.zeros((c0, q1 - p1, ln), jnp.float64)
+            for s in range(n_s):
+                t0 = max(0, s - N_CHUNKS + 1)
+                t1 = min(s + 1, n_t)
+                cb_stack = jnp.concatenate(
+                    [cb[s - t][:, :ln] for t in range(t0, t1)]
+                )
+                g = jnp.einsum(
+                    "kji,jl->kil",
+                    ta_all[:, t0 * b0 : t1 * b0, p1:q1], cb_stack,
+                    preferred_element_type=acc_dtype,
+                )
+                w = 2.0 ** (-CHUNK_BITS * (s + 2))
+                hp = hp + g.astype(jnp.float64) * w
+            hp = hp * jnp.exp2(
+                ea[p1:q1][None, :, None] + eb[:ln][None, None, :]
+            )
+            kmax = min(c1 - p1, (q1 - p1) + ln - 1)
+            out = out.at[:, p1 : p1 + kmax].add(
+                _antidiag_sum(jnp, hp, kmax)
+            )
+        return out
+    h = jnp.zeros((c0, a1, b1), jnp.float64)
     if _stack_impl():
         # diagonal-stacked layout (GENFER_OZAKI_STACK): all chunk
         # Toeplitz stacks concatenated along the contraction axis
@@ -287,7 +351,8 @@ def ozaki_conv2d(a, b, out_shape, pair_bits: int = 7, impl: str = "int8",
         int(a.shape[0]), int(a.shape[1]),
         int(b.shape[0]), int(b.shape[1]),
         int(out_shape[0]), int(out_shape[1]),
-        int(pair_bits), impl, bool(guard), (_chunk_impl(), _stack_impl()),
+        int(pair_bits), impl, bool(guard),
+        (_chunk_impl(), _stack_impl(), _colblock()),
     )(a, b)
 
 
@@ -341,6 +406,7 @@ def route_fingerprint():
             "GENFER_OZAKI", "GENFER_OZAKI_IMPL", "GENFER_OZAKI_PAIR_BITS",
             "GENFER_OZAKI_MIN_FLOPS", "GENFER_OZAKI_MAX_BYTES",
             "GENFER_OZAKI_CHUNK", "GENFER_OZAKI_STACK",
+            "GENFER_OZAKI_COLBLOCK", "GENFER_CONV_BLOCK",
         )
     )
 

@@ -45,16 +45,24 @@ math), and against the ~33 TF/s 6-pass f32-HIGHEST dense ceiling the
 *issued* throughput of the committed artifact rows is ~4%/15%/31% —
 so below order ~512 the single-pair kernel is bound by per-j0 loop
 overhead (slab staging, window rolls, accumulator-tuple carry), not by
-MXU issue.  Scheduling attacks tried and measured on v5e: the
-residue-grouped variant (``conv2d_pallas_grouped``, one slab load +
-roll per (strip, residue-class) instead of per j0) is ~even at 256 and
-slightly behind at 384/512; a contraction-fused variant stacking F=16
-residue-class windows into one (128, F*128)@(F*128, 128) matmul per
-site — F times fewer MXU issues at identical FLOPs — also measured no
-win and cost a 141 s Mosaic compile from the F-unrolled body, and was
-removed.  The recovery path at small order is batching
+MXU issue.  Direct decomposition measurement (v5e 2026-08-21,
+scripts/ozaki_diag.py ``pallas_floor``: time the SAME kernel at
+HIGHEST = 6 bf16 passes vs DEFAULT = 1 pass; the delta times 6/5 is
+the MXU share, everything else is launch/scheduling): @256 the MXU
+share is 0.30 ms of 4.37 ms total — **93% launch-bound** — and @512
+it is 2.93 of 9.45 ms (69%).  Scheduling attacks tried and measured
+on v5e: the residue-grouped variant (``conv2d_pallas_grouped``, one
+slab load + roll per (strip, residue-class) instead of per j0) is
+~even at 256 and slightly behind at 384/512; a contraction-fused
+variant stacking F=16 residue-class windows into one
+(128, F*128)@(F*128, 128) matmul per site — F times fewer MXU issues
+at identical FLOPs — also measured no win and cost a 141 s Mosaic
+compile from the F-unrolled body, and was removed.  With the floor
+measured at 93%, further single-pair scheduling at 256 cannot reach
+the round-3 1.5 TF/s bar (it would need the whole non-MXU floor gone);
+the recovery path at small order is batching
 (``conv2d_pallas_batched``: 4.9x the single-pair useful throughput at
-256x32 in the committed rows), not further single-pair scheduling.
+256x32 in the committed rows), which amortizes exactly that floor.
 """
 
 from __future__ import annotations

@@ -914,6 +914,68 @@ def _antidiag_sum(jnp, P, out_len: int):
     return jnp.flip(s[..., (nj - 1) : (nj + K - 1)], axis=-1)
 
 
+def _conv_block_cfg() -> tuple[int, int, bool]:
+    """GENFER_CONV_BLOCK: truncation-aware blocking of the dense 2-axis
+    XLA conv ("staircase"): the full einsum computes the rectangle
+    [c0, b0] x [a1, b1] though (a) the Toeplitz band T[k, j] = a[k-j]
+    is zero outside j in (k - a0, k], so a k0-row strip only needs a
+    j sub-range, and (b) output truncation k1 < c1 makes every
+    (i1, l) pair with i1 + l >= c1 dead weight.  At order-512 square
+    truncated shapes the rectangle issues ~4x the useful MACs; blocking
+    at 128x128 issues ~1.56x.  Measured v5e f64 emulation
+    (scripts/ozaki_diag.py, 2026-08-21): @512 364.7 -> 164.5 ms
+    (209.7 GF/s useful), @256 44.0 -> 24.1 ms, spot err 4-6e-15
+    either way; 256x256 blocks are clearly worse (260 ms @512).
+    Value: "R" or "RxC" (row-strip height x a1-column block width);
+    "0"/"off" disables; unset = 128x128 on an f64 TPU product (the
+    measured default), off elsewhere (the third return element flags an
+    explicit env setting, which applies regardless of platform/dtype —
+    tests run forced-CPU).  Read at TRACE time — part of the conv-jit
+    cache fingerprint (ozaki_conv.route_fingerprint)."""
+    v = os.environ.get("GENFER_CONV_BLOCK", "").strip().lower()
+    if not v:
+        return (128, 128, False)
+    if v == "0" or v == "off":
+        return (0, 0, True)
+    if "x" in v:
+        r, c = v.split("x", 1)
+        return (int(r), int(c), True)
+    return (int(v), int(v), True)
+
+
+def _conv_dense_2d_blocked(jnp, a, b, out_shape: Shape, rblk: int,
+                           cblk: int):
+    """Staircase-blocked 2-axis truncated product (see _conv_block_cfg).
+    Exactly the contributions of the dense path — dropped slices are
+    identically zero (Toeplitz band) or feed only truncated-away output
+    columns — so results match to f64 summation order."""
+    c0, c1 = out_shape
+    a0, a1 = a.shape
+    b0, b1 = b.shape
+    rblk = rblk or c0
+    cblk = cblk or a1
+    Ta = _toeplitz(jnp, a, c0, b0)  # [c0, b0, a1]
+    out = jnp.zeros((c0, c1), jnp.result_type(a.dtype, b.dtype))
+    for p0 in range(0, c0, rblk):
+        r1 = min(c0, p0 + rblk)
+        # rows k0 in [p0, r1): band j in (k0 - a0, k0] -> strip range
+        j_lo = max(0, p0 - (a0 - 1))
+        j_hi = min(b0, r1)
+        if j_lo >= j_hi:
+            continue
+        for p1 in range(0, min(a1, c1), cblk):
+            q1 = min(a1, p1 + cblk, c1)
+            L = min(b1, c1 - p1)
+            H = jnp.einsum(
+                "kji,jl->kil",
+                Ta[p0:r1, j_lo:j_hi, p1:q1], b[j_lo:j_hi, :L],
+            )
+            kmax = min(c1 - p1, (q1 - p1) + L - 1)
+            part = _antidiag_sum(jnp, H, kmax)
+            out = out.at[p0:r1, p1 : p1 + kmax].add(part)
+    return out
+
+
 def _conv_dense(jnp, a, b, out_shape: Shape):
     n = len(out_shape)
     if n == 0:
@@ -926,6 +988,21 @@ def _conv_dense(jnp, a, b, out_shape: Shape):
         c0, c1 = out_shape
         a0, a1 = a.shape
         b0, b1 = b.shape
+        rblk, cblk, from_env = _conv_block_cfg()
+        if rblk and c0 > rblk:
+            if from_env:
+                use = True
+            else:
+                from ..ops.ozaki_conv import _platform_is_tpu
+
+                use = (
+                    jnp.result_type(a.dtype, b.dtype) == jnp.float64
+                    and _platform_is_tpu()
+                )
+            if use:
+                return _conv_dense_2d_blocked(
+                    jnp, a, b, out_shape, rblk, cblk
+                )
         # step 1: conv along axis 0 -> H[k0, i1, j1] (MXU matmul)
         Ta = _toeplitz(jnp, a, c0, b0)  # [c0, b0, a1]
         H = jnp.einsum("kji,jl->kil", Ta, b)  # [c0, a1, b1]

@@ -44,12 +44,30 @@ def main(orders=(512, 256), iters=6, smoke=False):
     force = {"GENFER_OZAKI": "force", "GENFER_OZAKI_MIN_FLOPS": "0",
              "GENFER_OZAKI_IMPL": "int8", "GENFER_OZAKI_PAIR_BITS": "7"}
     variants = [
+        # COLBLOCK now defaults to 128 — pin it off on the plain rows
+        # so the stack/chunk axes stay isolated
         ("int_stack", {"GENFER_OZAKI_CHUNK": "int",
-                       "GENFER_OZAKI_STACK": "1"}),
+                       "GENFER_OZAKI_STACK": "1",
+                       "GENFER_OZAKI_COLBLOCK": "0"}),
         ("int_nostack", {"GENFER_OZAKI_CHUNK": "int",
-                         "GENFER_OZAKI_STACK": "0"}),
+                         "GENFER_OZAKI_STACK": "0",
+                         "GENFER_OZAKI_COLBLOCK": "0"}),
         ("float_stack", {"GENFER_OZAKI_CHUNK": "float",
-                         "GENFER_OZAKI_STACK": "1"}),
+                         "GENFER_OZAKI_STACK": "1",
+                         "GENFER_OZAKI_COLBLOCK": "0"}),
+        # truncation staircases (new, unmeasured): the a1-column block
+        # on the ozaki stacked layout, and row+col blocking on the
+        # dense f64 emulation path
+        ("int_stack_cb128", {"GENFER_OZAKI_CHUNK": "int",
+                             "GENFER_OZAKI_STACK": "1",
+                             "GENFER_OZAKI_COLBLOCK": "128"}),
+        ("int_stack_cb256", {"GENFER_OZAKI_CHUNK": "int",
+                             "GENFER_OZAKI_STACK": "1",
+                             "GENFER_OZAKI_COLBLOCK": "256"}),
+        ("xla_f64_block128", {"GENFER_OZAKI": "0",
+                              "GENFER_CONV_BLOCK": "128x128"}),
+        ("xla_f64_block256", {"GENFER_OZAKI": "0",
+                              "GENFER_CONV_BLOCK": "256x256"}),
     ]
     results = {}
     for order in orders:
