@@ -174,6 +174,19 @@ def _colblock() -> int:
     return int(v) if v else 128
 
 
+def _rowblock() -> int:
+    """Row-staircase strip height (GENFER_OZAKI_ROWBLOCK): per output
+    row strip [p0, p0+R), the chunk Toeplitz band T[k, j] = ca[k-j] is
+    zero outside j in (p0 - a0, p0 + R), so the strip's contraction
+    only needs that j-range — at truncated square order-512 shapes the
+    full contraction issues 1.6x the band MACs.  The dense-path
+    analogue measured 2.2x total with both axes blocked.  0/unset =
+    off (the default until device-measured; scripts/ozaki_diag.py
+    carries the A/B variant)."""
+    v = os.environ.get("GENFER_OZAKI_ROWBLOCK", "").strip()
+    return int(v) if v else 0
+
+
 def ozaki_conv2d_traced(jnp, a, b, out_shape, pair_bits: int = 7,
                         impl: str = "int8"):
     """Traceable body: the truncated 2-D Cauchy product of f64 ``a``
@@ -208,42 +221,62 @@ def ozaki_conv2d_traced(jnp, a, b, out_shape, pair_bits: int = 7,
     # 8 * 2^12 * k <= 2^24 for the fallback impl's k cap), so only
     # pair_bits+1 buffers reach the HBM-bound f64 combine
     n_s = min(2 * N_CHUNKS - 1, pair_bits + 1)
+    a0 = int(a.shape[0])
     cb_w = _colblock()
-    # engage only under REAL axis-1 truncation: on a full conv
-    # (c1 = a1 + b1 - 1) every block keeps all b columns, so the split
-    # is pure dispatch overhead
-    if (_stack_impl() and cb_w and min(a1, c1) > cb_w
-            and c1 < a1 + b1 - 1):
-        # column-staircase (see _colblock): per a1 block, contract only
-        # the surviving b columns and combine into the output slice
-        ta_all = jnp.concatenate(
-            [_toeplitz(jnp, ca[t], c0, b0) for t in range(n_t)], axis=1
-        )  # [c0, n_t*b0, a1]
+    rb_h = _rowblock()
+    # the column staircase engages only under REAL axis-1 truncation
+    # (on a full conv c1 = a1 + b1 - 1 every block keeps all b columns,
+    # pure dispatch overhead); the row staircase engages whenever the
+    # Toeplitz band leaves whole j-slabs zero within some strip
+    col_engaged = bool(cb_w) and min(a1, c1) > cb_w and c1 < a1 + b1 - 1
+    row_engaged = bool(rb_h) and c0 > rb_h
+    if _stack_impl() and (col_engaged or row_engaged):
+        # staircase (see _colblock/_rowblock): per output row strip,
+        # contract only the nonzero Toeplitz j-range; per a1 block,
+        # only the surviving b columns; combine into the output slice
+        tas = [_toeplitz(jnp, ca[t], c0, b0) for t in range(n_t)]
         out = jnp.zeros((c0, c1), jnp.float64)
-        for p1 in range(0, min(a1, c1), cb_w):
-            q1 = min(a1, p1 + cb_w, c1)
-            ln = min(b1, c1 - p1)
-            hp = jnp.zeros((c0, q1 - p1, ln), jnp.float64)
+        rstep = rb_h if row_engaged else c0
+        cstep = cb_w if col_engaged else max(min(a1, c1), 1)
+        for p0 in range(0, c0, rstep):
+            r1 = min(c0, p0 + rstep)
+            j_lo = max(0, p0 - (a0 - 1))
+            j_hi = min(b0, r1)
+            if j_lo >= j_hi:
+                continue
+            # one stacked-slab concat per (strip, diagonal), sliced per
+            # column block inside the einsum operand
+            ta_diag = {}
+            cb_diag = {}
             for s in range(n_s):
                 t0 = max(0, s - N_CHUNKS + 1)
                 t1 = min(s + 1, n_t)
-                cb_stack = jnp.concatenate(
-                    [cb[s - t][:, :ln] for t in range(t0, t1)]
+                ta_diag[s] = jnp.concatenate(
+                    [tas[t][p0:r1, j_lo:j_hi, :] for t in range(t0, t1)],
+                    axis=1,
                 )
-                g = jnp.einsum(
-                    "kji,jl->kil",
-                    ta_all[:, t0 * b0 : t1 * b0, p1:q1], cb_stack,
-                    preferred_element_type=acc_dtype,
+                cb_diag[s] = jnp.concatenate(
+                    [cb[s - t][j_lo:j_hi, :] for t in range(t0, t1)]
                 )
-                w = 2.0 ** (-CHUNK_BITS * (s + 2))
-                hp = hp + g.astype(jnp.float64) * w
-            hp = hp * jnp.exp2(
-                ea[p1:q1][None, :, None] + eb[:ln][None, None, :]
-            )
-            kmax = min(c1 - p1, (q1 - p1) + ln - 1)
-            out = out.at[:, p1 : p1 + kmax].add(
-                _antidiag_sum(jnp, hp, kmax)
-            )
+            for p1 in range(0, min(a1, c1), cstep):
+                q1 = min(a1, p1 + cstep, c1)
+                ln = min(b1, c1 - p1)
+                hp = jnp.zeros((r1 - p0, q1 - p1, ln), jnp.float64)
+                for s in range(n_s):
+                    g = jnp.einsum(
+                        "kji,jl->kil",
+                        ta_diag[s][:, :, p1:q1], cb_diag[s][:, :ln],
+                        preferred_element_type=acc_dtype,
+                    )
+                    w = 2.0 ** (-CHUNK_BITS * (s + 2))
+                    hp = hp + g.astype(jnp.float64) * w
+                hp = hp * jnp.exp2(
+                    ea[p1:q1][None, :, None] + eb[:ln][None, None, :]
+                )
+                kmax = min(c1 - p1, (q1 - p1) + ln - 1)
+                out = out.at[p0:r1, p1 : p1 + kmax].add(
+                    _antidiag_sum(jnp, hp, kmax)
+                )
         return out
     h = jnp.zeros((c0, a1, b1), jnp.float64)
     if _stack_impl():
@@ -352,7 +385,7 @@ def ozaki_conv2d(a, b, out_shape, pair_bits: int = 7, impl: str = "int8",
         int(b.shape[0]), int(b.shape[1]),
         int(out_shape[0]), int(out_shape[1]),
         int(pair_bits), impl, bool(guard),
-        (_chunk_impl(), _stack_impl(), _colblock()),
+        (_chunk_impl(), _stack_impl(), _colblock(), _rowblock()),
     )(a, b)
 
 
@@ -406,7 +439,8 @@ def route_fingerprint():
             "GENFER_OZAKI", "GENFER_OZAKI_IMPL", "GENFER_OZAKI_PAIR_BITS",
             "GENFER_OZAKI_MIN_FLOPS", "GENFER_OZAKI_MAX_BYTES",
             "GENFER_OZAKI_CHUNK", "GENFER_OZAKI_STACK",
-            "GENFER_OZAKI_COLBLOCK", "GENFER_CONV_BLOCK",
+            "GENFER_OZAKI_COLBLOCK", "GENFER_OZAKI_ROWBLOCK",
+            "GENFER_CONV_BLOCK",
         )
     )
 

@@ -64,6 +64,14 @@ def main(orders=(512, 256), iters=6, smoke=False):
         ("int_stack_cb256", {"GENFER_OZAKI_CHUNK": "int",
                              "GENFER_OZAKI_STACK": "1",
                              "GENFER_OZAKI_COLBLOCK": "256"}),
+        ("int_stack_cb128_rb128", {"GENFER_OZAKI_CHUNK": "int",
+                                   "GENFER_OZAKI_STACK": "1",
+                                   "GENFER_OZAKI_COLBLOCK": "128",
+                                   "GENFER_OZAKI_ROWBLOCK": "128"}),
+        ("int_stack_rb128", {"GENFER_OZAKI_CHUNK": "int",
+                             "GENFER_OZAKI_STACK": "1",
+                             "GENFER_OZAKI_COLBLOCK": "0",
+                             "GENFER_OZAKI_ROWBLOCK": "128"}),
         ("xla_f64_block128", {"GENFER_OZAKI": "0",
                               "GENFER_CONV_BLOCK": "128x128"}),
         ("xla_f64_block256", {"GENFER_OZAKI": "0",

@@ -61,6 +61,25 @@ def test_env_routes_blocked_and_recompiles(monkeypatch):
     assert _rel(got2, ref) < 1e-13
 
 
+@pytest.mark.parametrize("rb,cb", [(16, 16), (16, 0), (8, 24), (13, 7)])
+def test_ozaki_rowcol_staircase_matches_plain(rb, cb, monkeypatch):
+    from genfer_tpu.ops.ozaki_conv import ozaki_conv2d
+
+    monkeypatch.setenv("GENFER_OZAKI", "force")
+    monkeypatch.setenv("GENFER_OZAKI_MIN_FLOPS", "0")
+    rng = np.random.default_rng(12)
+    for sa, sb, out in SHAPES:
+        a = jnp.asarray(rng.standard_normal(sa))
+        b = jnp.asarray(rng.standard_normal(sb))
+        monkeypatch.setenv("GENFER_OZAKI_COLBLOCK", "0")
+        monkeypatch.setenv("GENFER_OZAKI_ROWBLOCK", "0")
+        base = np.asarray(ozaki_conv2d(a, b, out))
+        monkeypatch.setenv("GENFER_OZAKI_COLBLOCK", str(cb))
+        monkeypatch.setenv("GENFER_OZAKI_ROWBLOCK", str(rb))
+        got = np.asarray(ozaki_conv2d(a, b, out))
+        assert _rel(got, base) < 1e-13, (sa, sb, out, rb, cb)
+
+
 @pytest.mark.parametrize("width", [16, 24, 64])
 def test_ozaki_colblock_matches_plain(width, monkeypatch):
     from genfer_tpu.ops.ozaki_conv import ozaki_conv2d
