@@ -469,20 +469,29 @@ def estimate_bytes(a_shape, b_shape, out_shape,
                    pair_bits: int | None = None,
                    impl: str | None = None) -> float:
     """Rough peak-extra-HBM estimate of one direct ozaki conv: the
-    n_t Toeplitz chunk stacks [c0, b0, a1], two transient int32
-    diagonal buffers [c0, a1, b1], and the f64 accumulator."""
+    n_t Toeplitz chunk stacks [c0, b0, a1], transient int32 diagonal
+    buffers and the f64 accumulator — the latter two shrink to one
+    row-strip x column-block when the staircases are engaged (which is
+    what lifts the direct-kernel ceiling past order 512: the full
+    [c0, a1, b1] f64 accumulator alone is ~1.7 GB at 640)."""
     if pair_bits is None:
         pair_bits = default_pair_bits()
     if impl is None:
         impl = default_impl()
-    c0 = out_shape[0]
+    c0, c1 = out_shape[0], out_shape[1]
     a1, b0, b1 = a_shape[1], b_shape[0], b_shape[1]
     n_t = min(N_CHUNKS, pair_bits + 1)
     elem = 1 if impl == "int8" else 2
     tas = n_t * c0 * b0 * a1 * elem
-    grp = 2 * c0 * a1 * b1 * 4
-    acc = c0 * a1 * b1 * 8
-    return float(tas + grp + acc)
+    cb_w = _colblock()
+    rb_h = _rowblock()
+    cols = min(cb_w, a1) if (cb_w and min(a1, c1) > cb_w
+                             and c1 < a1 + b1 - 1) else a1
+    rows = min(rb_h, c0) if (rb_h and c0 > rb_h) else c0
+    grp = 2 * rows * cols * b1 * 4
+    acc = rows * cols * b1 * 8
+    out = c0 * c1 * 8 if (cols < a1 or rows < c0) else 0
+    return float(tas + grp + acc + out)
 
 
 def ozaki_applicable(dtype_name: str, a_shape, b_shape, out_shape,

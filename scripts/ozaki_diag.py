@@ -120,6 +120,70 @@ def main(orders=(512, 256), iters=6, smoke=False):
             print(f"diag {order} {name}: {row[name]}", file=sys.stderr,
                   flush=True)
         results[order] = row
+    def crossover():
+        """Emulation (with its default staircase) vs routed ozaki at
+        SMALL orders — evidence for OZAKI_MIN_FLOPS: with the colblock
+        default the @256 margin is 3x, so the crossover likely sits
+        below the current ~order-256 threshold."""
+        res = {}
+        for order in (16,) if smoke else (128, 160, 192):
+            shape = (order, order)
+            rng = np.random.RandomState(3)
+            va = jnp.asarray(rng.rand(*shape))
+            vb = jnp.asarray(rng.rand(*shape))
+            flops = flops_conv_trunc(shape, shape)
+            row = {}
+            for name, env in (
+                ("emulation", {"GENFER_OZAKI": "0"}),
+                ("ozaki", {"GENFER_OZAKI": "force",
+                           "GENFER_OZAKI_MIN_FLOPS": "0"}),
+            ):
+                with _env_patch(env):
+                    def step(carry, _):
+                        x, y = carry
+                        o = _conv_impl(jnp, x, y, shape)
+                        return (o / jnp.max(jnp.abs(o)), x), 0.0
+
+                    @jax.jit
+                    def run(x, y):
+                        (r, _), _ = jax.lax.scan(step, (x, y), None,
+                                                 length=iters)
+                        return r
+
+                    np.asarray(run(va, vb))
+                    t0 = time.perf_counter()
+                    np.asarray(run(va, vb))
+                    dt = (time.perf_counter() - t0) / iters
+                row[name] = {"ms": round(dt * 1e3, 3),
+                             "gflops": round(flops / dt / 1e9, 1)}
+                print(f"crossover {order} {name}: {row[name]}",
+                      file=sys.stderr, flush=True)
+            res[order] = row
+        return res
+
+    def direct640():
+        """Direct (unblocked-driver) truncated 640 square through the
+        routed kernel — newly inside the memory cap via the staircase."""
+        order = 24 if smoke else 640
+        shape = (order, order)
+        rng = np.random.RandomState(4)
+        va = jnp.asarray(rng.rand(*shape))
+        vb = jnp.asarray(rng.rand(*shape))
+        from genfer_tpu.ops.blocked_conv import spot_check
+        with _env_patch({"GENFER_OZAKI": "force",
+                         "GENFER_OZAKI_MIN_FLOPS": "0"}):
+            f = jax.jit(lambda x, y: _conv_impl(jnp, x, y, shape))
+            np.asarray(f(va, vb))
+            t0 = time.perf_counter()
+            out = np.asarray(f(va, vb))
+            dt = time.perf_counter() - t0
+        err = spot_check(np.asarray(va), np.asarray(vb), out, 64)
+        row = {"ms": round(dt * 1e3, 3),
+               "gflops": round(flops_conv_trunc(shape, shape) / dt / 1e9, 1),
+               "spot_rel_err": float(f"{err:.3e}")}
+        print(f"direct640: {row}", file=sys.stderr, flush=True)
+        return row
+
     for key, fn in (
         ("pallas_floor", lambda: pallas_floor_decomposition(
             orders=(32,) if smoke else (256, 512),
@@ -127,6 +191,8 @@ def main(orders=(512, 256), iters=6, smoke=False):
         ("fullblock_ab", lambda: fullblock_kernel_ab(
             order=16 if smoke else 512, iters=2 if smoke else 6,
             interpret=smoke)),
+        ("crossover", crossover),
+        ("direct640", direct640),
     ):
         try:
             results[key] = fn()

@@ -208,6 +208,16 @@ class TestRouting:
         assert ozaki_applicable(
             "float64", (512, 512), (512, 512), (1023, 1023), 1e12
         )
+        # the TRUNCATED 640 square: the column staircase (default on)
+        # shrinks the transient diagonal and f64 buffers to one block
+        # (~3 GB vs ~6.3 GB unstaircased) — direct route stays open
+        # with more headroom
+        est = estimate_bytes(sa, sb, (640, 640))
+        assert est < 10e9
+        assert ozaki_applicable("float64", sa, sb, (640, 640), 1e12)
+        monkeypatch.setenv("GENFER_OZAKI_COLBLOCK", "0")
+        assert estimate_bytes(sa, sb, (640, 640)) > 1.5 * est
+        monkeypatch.delenv("GENFER_OZAKI_COLBLOCK")
 
     def test_contraction_cap(self, monkeypatch):
         monkeypatch.setenv("GENFER_OZAKI", "force")
