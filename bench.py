@@ -699,9 +699,10 @@ def bench_ozaki(orders=(256, 384, 512), iters=6):
         ("xla_f64_staircase", {"GENFER_OZAKI": "0"}),
         ("ozaki_int8_pb7", {"GENFER_OZAKI_IMPL": "int8",
                             "GENFER_OZAKI_PAIR_BITS": "7"}),
-        ("ozaki_int8_pb7_nocb", {"GENFER_OZAKI_IMPL": "int8",
-                                 "GENFER_OZAKI_PAIR_BITS": "7",
-                                 "GENFER_OZAKI_COLBLOCK": "0"}),
+        ("ozaki_int8_pb7_nostair", {"GENFER_OZAKI_IMPL": "int8",
+                                    "GENFER_OZAKI_PAIR_BITS": "7",
+                                    "GENFER_OZAKI_COLBLOCK": "0",
+                                    "GENFER_OZAKI_ROWBLOCK": "0"}),
         ("ozaki_int8_pb6", {"GENFER_OZAKI_IMPL": "int8",
                             "GENFER_OZAKI_PAIR_BITS": "6"}),
         ("ozaki_bf16_pb7", {"GENFER_OZAKI_IMPL": "bf16",

@@ -47,8 +47,9 @@ truncated shapes, spot-checked vs host-exact f64 dots:
 
     @512: emulation 364.7 ms (94.6 GF/s) -> ozaki stacked 150.0 ms
           (230 GF/s) -> + column staircase (_colblock, default 128)
-          112.5 ms = 306.6 GF/s useful, spot err 4-6e-15
-    @256: 44.0 -> 18.0 -> 14.4 ms (150.1 GF/s), 4-6e-15
+          112.5 ms (306.6 GF/s) -> + row staircase (_rowblock, default
+          128) 81.6 ms = 422.5 GF/s useful, spot err 4-6e-15
+    @256: 44.0 -> 18.0 -> 14.4 -> 13.0 ms (166.7 GF/s), 4-6e-15
     the int-domain chunk split (_chunk_int) is what holds device
     accuracy: the float round/div/sub chain measures 9.9e-12 @512 on
     the TPU's emulated f64, int bit-slicing 4.3e-15.
@@ -179,12 +180,13 @@ def _rowblock() -> int:
     row strip [p0, p0+R), the chunk Toeplitz band T[k, j] = ca[k-j] is
     zero outside j in (p0 - a0, p0 + R), so the strip's contraction
     only needs that j-range — at truncated square order-512 shapes the
-    full contraction issues 1.6x the band MACs.  The dense-path
-    analogue measured 2.2x total with both axes blocked.  0/unset =
-    off (the default until device-measured; scripts/ozaki_diag.py
-    carries the A/B variant)."""
+    full contraction issues 1.6x the band MACs.  Measured v5e
+    (scripts/ozaki_diag.py, window 2): composed with the column
+    staircase @512 112.5 -> 81.6 ms = 422.5 GF/s useful at 5.5e-15
+    (row-only 124.2 ms; @256 14.0 -> 13.0 ms).  Default 128; "0"
+    disables."""
     v = os.environ.get("GENFER_OZAKI_ROWBLOCK", "").strip()
-    return int(v) if v else 0
+    return int(v) if v else 128
 
 
 def ozaki_conv2d_traced(jnp, a, b, out_shape, pair_bits: int = 7,
@@ -408,11 +410,12 @@ def ozaki_conv2d(a, b, out_shape, pair_bits: int = 7, impl: str = "int8",
 # ``route_fingerprint()``, which backend._conv_jit keys its compile
 # cache on — toggling them between calls reaches a fresh kernel.
 
-#: measured crossover vs the XLA f64 emulation path (see
-#: bench-results.json `ozaki`): below order ~256 the chunk passes'
-#: fixed staging overhead eats the win.  2-var order-256 truncated
-#: ~= 2.2e9 pair flops; require >= that.
-OZAKI_MIN_FLOPS_DEFAULT = 2e9
+#: measured crossover vs the XLA f64 emulation path (bench-results.json
+#: `ozaki` + the diag `crossover` sweep): with the staircases the ozaki
+#: kernel wins from ~order 192 (53.6 vs 34.0 GF/s @192; ~even at
+#: 128-160 with one noisy inversion).  2-var order-192 truncated
+#: ~= 6.9e8 pair flops; require >= ~that.
+OZAKI_MIN_FLOPS_DEFAULT = 6e8
 #: direct-kernel device-memory estimate cap (bytes): Toeplitz chunk
 #: stacks + int32 diagonal group (x2 transient) + the f64 accumulator.
 #: An order-512 pair estimates ~6.5 GB; order-640 ~13 GB exceeds the

@@ -197,27 +197,41 @@ class TestRouting:
             "float64", (64, 64), (64, 64), (127, 127), 2e9
         )
 
-    def test_memory_cap_order_640_goes_blocked(self, monkeypatch):
+    def test_memory_cap_routing(self, monkeypatch):
         monkeypatch.setenv("GENFER_OZAKI", "force")
         monkeypatch.setenv("GENFER_OZAKI_MIN_FLOPS", "0")
         sa = sb = (640, 640)
         out = (1279, 1279)
+        # with the staircases pinned OFF the full-conv 640 estimate
+        # (~13 GB) exceeds the cap and routes to the blocked driver —
+        # the pre-staircase behavior
+        monkeypatch.setenv("GENFER_OZAKI_COLBLOCK", "0")
+        monkeypatch.setenv("GENFER_OZAKI_ROWBLOCK", "0")
         assert estimate_bytes(sa, sb, out) > 10e9
         assert not ozaki_applicable("float64", sa, sb, out, 1e12)
-        # order 512 is within the direct cap
+        # order 512 is within the direct cap either way
         assert ozaki_applicable(
             "float64", (512, 512), (512, 512), (1023, 1023), 1e12
         )
-        # the TRUNCATED 640 square: the column staircase (default on)
-        # shrinks the transient diagonal and f64 buffers to one block
-        # (~3 GB vs ~6.3 GB unstaircased) — direct route stays open
-        # with more headroom
+        nostair = estimate_bytes(sa, sb, (640, 640))
+        monkeypatch.delenv("GENFER_OZAKI_COLBLOCK")
+        monkeypatch.delenv("GENFER_OZAKI_ROWBLOCK")
+        # the default staircases shrink the transient diagonal and f64
+        # buffers to one strip x block: both the truncated AND the
+        # full-conv 640 now fit the direct kernel
         est = estimate_bytes(sa, sb, (640, 640))
         assert est < 10e9
+        assert nostair > 1.5 * est
         assert ozaki_applicable("float64", sa, sb, (640, 640), 1e12)
-        monkeypatch.setenv("GENFER_OZAKI_COLBLOCK", "0")
-        assert estimate_bytes(sa, sb, (640, 640)) > 1.5 * est
-        monkeypatch.delenv("GENFER_OZAKI_COLBLOCK")
+        assert estimate_bytes(sa, sb, out) < 10e9
+        assert ozaki_applicable("float64", sa, sb, out, 1e12)
+        # a genuinely too-big pair still routes blocked: the chunk
+        # Toeplitz stacks alone (~17 GB at full-conv order 1024) bust
+        # the cap regardless of staircase state
+        big = (1024, 1024)
+        assert estimate_bytes(big, big, (2047, 2047)) > 10e9
+        assert not ozaki_applicable("float64", big, big, (2047, 2047),
+                                    1e12)
 
     def test_contraction_cap(self, monkeypatch):
         monkeypatch.setenv("GENFER_OZAKI", "force")
