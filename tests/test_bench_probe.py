@@ -114,8 +114,8 @@ def test_bench_ozaki_section_smoke(monkeypatch):
     assert set(rows) == {48}
     row = rows[48]
     assert set(row) == {
-        "xla_f64_emulation", "ozaki_int8_pb7", "ozaki_int8_pb6",
-        "ozaki_bf16_pb7",
+        "xla_f64_emulation", "xla_f64_staircase", "ozaki_int8_pb7",
+        "ozaki_int8_pb7_nostair", "ozaki_int8_pb6", "ozaki_bf16_pb7",
     }
     for name, r in row.items():
         assert isinstance(r, dict), (name, r)
