@@ -231,7 +231,14 @@ def ozaki_conv2d_traced(jnp, a, b, out_shape, pair_bits: int = 7,
     # pure dispatch overhead); the row staircase engages whenever the
     # Toeplitz band leaves whole j-slabs zero within some strip
     col_engaged = bool(cb_w) and min(a1, c1) > cb_w and c1 < a1 + b1 - 1
-    row_engaged = bool(rb_h) and c0 > rb_h
+    # the row staircase is ALSO truncation-scoped: on full-conv shapes
+    # (the blocked P-pair driver's inner products) it measured
+    # catastrophically slower on device (highorder-1024 ozaki row
+    # 11.4 s with it off vs 74.9-110 s on, two windows), while on
+    # truncated working shapes it is the 306->422 GF/s win — the taper
+    # savings on a full conv do not pay for the per-strip slab concat
+    # and dispatch volume
+    row_engaged = (bool(rb_h) and c0 > rb_h and c1 < a1 + b1 - 1)
     if _stack_impl() and (col_engaged or row_engaged):
         # staircase (see _colblock/_rowblock): per output row strip,
         # contract only the nonzero Toeplitz j-range; per a1 block,
@@ -488,9 +495,9 @@ def estimate_bytes(a_shape, b_shape, out_shape,
     tas = n_t * c0 * b0 * a1 * elem
     cb_w = _colblock()
     rb_h = _rowblock()
-    cols = min(cb_w, a1) if (cb_w and min(a1, c1) > cb_w
-                             and c1 < a1 + b1 - 1) else a1
-    rows = min(rb_h, c0) if (rb_h and c0 > rb_h) else c0
+    trunc = c1 < a1 + b1 - 1
+    cols = min(cb_w, a1) if (cb_w and min(a1, c1) > cb_w and trunc) else a1
+    rows = min(rb_h, c0) if (rb_h and c0 > rb_h and trunc) else c0
     grp = 2 * rows * cols * b1 * 4
     acc = rows * cols * b1 * 8
     out = c0 * c1 * 8 if (cols < a1 or rows < c0) else 0
