@@ -995,8 +995,14 @@ def _conv_dense(jnp, a, b, out_shape: Shape):
             else:
                 from ..ops.ozaki_conv import _platform_is_tpu
 
+                # the DEFAULT engages only on truncated shapes: the
+                # measured wins are all truncated-working-shape rows,
+                # and the ozaki row staircase showed full-conv (P-pair
+                # inner) shapes regressing badly under striping — an
+                # explicit GENFER_CONV_BLOCK still applies anywhere
                 use = (
-                    jnp.result_type(a.dtype, b.dtype) == jnp.float64
+                    c1 < a1 + b1 - 1
+                    and jnp.result_type(a.dtype, b.dtype) == jnp.float64
                     and _platform_is_tpu()
                 )
             if use:
